@@ -1,0 +1,16 @@
+from psg_tpu.diffusion.schedule import DiffusionSchedule, make_schedule
+from psg_tpu.diffusion.sampling import (
+    ddpm_sample,
+    ddpm_sample_fast,
+    ddpm_sample_renoise,
+    ddpm_sample_x0,
+)
+
+__all__ = [
+    "DiffusionSchedule",
+    "make_schedule",
+    "ddpm_sample",
+    "ddpm_sample_fast",
+    "ddpm_sample_renoise",
+    "ddpm_sample_x0",
+]

@@ -1,0 +1,36 @@
+"""Test environment: CPU backend with 8 virtual devices.
+
+Multi-device sharding tests run on a virtual CPU mesh
+(``xla_force_host_platform_device_count=8``) so the full DP/TP path is
+exercised without TPU hardware — this is the multi-device test layer the
+reference lacks entirely (SURVEY.md §4).
+"""
+
+import os
+
+# Force-override: the environment may pin JAX_PLATFORMS to a TPU plugin
+# (e.g. an axon tunnel); tests must run on the virtual-8-device CPU backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng_key():
+    import jax
+
+    return jax.random.PRNGKey(0)
