@@ -1,0 +1,3 @@
+from psg_tpu.text.tokenizer import WordPieceTokenizer, build_vocab_from_corpus
+
+__all__ = ["WordPieceTokenizer", "build_vocab_from_corpus"]
