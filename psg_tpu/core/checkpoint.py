@@ -1,0 +1,99 @@
+"""Checkpoint store for train-state pytrees.
+
+Replaces the reference's ``torch.save`` dicts + unused CheckpointManager
+(vae_trainer.py:515-541, helpers.py:170-219) with msgpack serialization of
+the full train state (params / opt state / PRNG / step / best metric),
+a JSON metadata sidecar, best-model policy, and keep-last-N rotation.
+
+Path convention mirrors the reference's stage hand-off
+(train_3stage.py:98,144,158-167):
+``{experiment_dir}/{name}_{stage}/checkpoints/{stage}_best_model.ckpt``.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_state(path, state, metadata: Optional[Dict[str, Any]] = None) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    state = jax.device_get(state)
+    data = serialization.to_bytes(state)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp.write_bytes(data)
+    tmp.rename(path)
+    if metadata is not None:
+        path.with_suffix(".json").write_text(json.dumps(metadata, indent=2))
+
+
+def load_state(path, target):
+    """Restore into a pytree of the same structure (``target`` provides
+    structure + dtypes; typically a freshly-initialized state)."""
+    data = Path(path).read_bytes()
+    return serialization.from_bytes(target, data)
+
+
+def load_metadata(path) -> Dict[str, Any]:
+    p = Path(path).with_suffix(".json")
+    return json.loads(p.read_text()) if p.exists() else {}
+
+
+class CheckpointManager:
+    """Best-model + keep-last-N rotation for one training stage."""
+
+    def __init__(self, directory, stage: str, keep: int = 5):
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.stage = stage
+        self.keep = keep
+        self.best_metric = float("inf")
+
+    @property
+    def best_path(self) -> Path:
+        return self.dir / f"{self.stage}_best_model.ckpt"
+
+    def latest_path(self) -> Optional[Path]:
+        cks = self._periodic()
+        return cks[-1] if cks else None
+
+    def _periodic(self) -> List[Path]:
+        return sorted(self.dir.glob(f"{self.stage}_step_*.ckpt"),
+                      key=lambda p: int(p.stem.split("_")[-1]))
+
+    def save(self, state, step: int, metric: Optional[float] = None,
+             extra_meta: Optional[Dict[str, Any]] = None,
+             periodic: bool = True) -> bool:
+        """Returns True if this became the new best checkpoint."""
+        meta = {"step": int(step), "time": time.time(), "stage": self.stage}
+        if metric is not None:
+            meta["metric"] = float(metric)
+        if extra_meta:
+            meta.update(extra_meta)
+
+        if periodic:
+            save_state(self.dir / f"{self.stage}_step_{step:08d}.ckpt", state, meta)
+            for old in self._periodic()[: -self.keep]:
+                old.unlink(missing_ok=True)
+                old.with_suffix(".json").unlink(missing_ok=True)
+
+        is_best = metric is not None and metric < self.best_metric
+        if is_best:
+            self.best_metric = float(metric)
+            save_state(self.best_path, state, meta)
+        return is_best
+
+    def restore(self, target, best: bool = True):
+        path = self.best_path if best else self.latest_path()
+        if path is None or not path.exists():
+            raise FileNotFoundError(f"no checkpoint in {self.dir}")
+        meta = load_metadata(path)
+        self.best_metric = meta.get("metric", float("inf"))
+        return load_state(path, target), meta

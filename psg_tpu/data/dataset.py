@@ -140,13 +140,17 @@ class PokemonDataset:
             full_description(r["english_name"], r["description"]) for r in self.rows
         ]
 
-        self.tokenizer = tokenizer
         self.text_len = text_len
+        self.set_tokenizer(tokenizer)
+
+    def set_tokenizer(self, tokenizer) -> None:
+        """(Re-)tokenize all text with ``tokenizer`` at ``self.text_len``."""
+        self.tokenizer = tokenizer
         if tokenizer is not None:
             self.text_ids, self.text_mask = tokenizer.encode_batch(
-                self.full_descriptions, max_len=text_len)
+                self.full_descriptions, max_len=self.text_len)
             self.desc_ids, self.desc_mask = tokenizer.encode_batch(
-                self.descriptions, max_len=text_len)
+                self.descriptions, max_len=self.text_len)
         else:
             self.text_ids = self.text_mask = None
             self.desc_ids = self.desc_mask = None

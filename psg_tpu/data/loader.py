@@ -135,14 +135,17 @@ class Loader:
         t.join()
 
 
-def make_loaders(cfg, tokenizer=None):
+def make_loaders(cfg, tokenizer=None, ds: Optional[PokemonDataset] = None):
     """Config -> (train, val, test) Loaders + the underlying dataset."""
     d = cfg.data
-    ds = PokemonDataset(
-        d.csv_path, d.image_dir, image_size=d.image_size,
-        background_color=d.background_color, tokenizer=tokenizer,
-        text_len=d.text_len,
-    )
+    if ds is None:
+        ds = PokemonDataset(
+            d.csv_path, d.image_dir, image_size=d.image_size,
+            background_color=d.background_color, tokenizer=tokenizer,
+            text_len=d.text_len,
+        )
+    elif tokenizer is not None and ds.tokenizer is not tokenizer:
+        ds.set_tokenizer(tokenizer)
     tr, va, te = split_indices(len(ds), d.val_split, d.test_split, seed=d.seed)
     train = Loader(ds, tr, d.batch_size, train=True, seed=d.seed,
                    augment=d.augment, num_workers=d.num_workers,

@@ -64,6 +64,14 @@ def resnet_block(params, x, *, dtype=None):
     return h + residual
 
 
+def latent_size_for(image_size: int) -> int:
+    """Latent spatial size after the three stride-2 encoder convs
+    (k4/p1, k4/p1, k4/p2 with torch floor semantics): 215 -> 27, 64 -> 9."""
+    s = image_size // 2  # k4 s2 p1: floor((n-2)/2)+1 == n//2
+    s = s // 2
+    return s // 2 + 1    # k4 s2 p2: floor(n/2)+1
+
+
 # ---------------------------------------------------------------------------
 # Encoder
 # ---------------------------------------------------------------------------
@@ -183,15 +191,16 @@ def vae_encode(params, key, images, *, dtype=None):
 
 
 def vae_decode(params, latent, text_emb, *, text_bias=None, dtype=None,
-               compat_reshape: bool = False):
+               image_size: int = 215, compat_reshape: bool = False):
     return vae_decoder_apply(
         params["decoder"], latent, text_emb, text_bias=text_bias,
-        dtype=dtype, compat_reshape=compat_reshape,
+        image_size=image_size, dtype=dtype, compat_reshape=compat_reshape,
     )
 
 
 def vae_apply(params, key, images, text_emb, mode: str = "train", *,
-              latent_dim: int = 8, latent_size: int = 27, text_bias=None,
+              latent_dim: int = 8, latent_size: int = 27,
+              image_size: int = None, text_bias=None,
               dtype=None, compat_reshape: bool = False):
     """Mode semantics from the reference:
 
@@ -211,16 +220,20 @@ def vae_apply(params, key, images, text_emb, mode: str = "train", *,
             latent = mu
         else:
             latent = reparameterize(key, mu, logvar)
+    if image_size is None:
+        image_size = images.shape[1] if images is not None else 215
     recon = vae_decode(
         params, latent, text_emb, text_bias=text_bias, dtype=dtype,
-        compat_reshape=compat_reshape,
+        image_size=image_size, compat_reshape=compat_reshape,
     )
     return {"reconstructed": recon, "latent": latent, "mu": mu, "logvar": logvar}
 
 
 def vae_sample(params, key, text_emb, *, latent_dim: int = 8,
-               latent_size: int = 27, text_bias=None, dtype=None):
+               latent_size: int = 27, image_size: int = 215,
+               text_bias=None, dtype=None):
     """Decode a prior draw (PokemonVAE.sample, vae_decoder.py:279-285)."""
     b = text_emb.shape[0]
     latent = jax.random.normal(key, (b, latent_size, latent_size, latent_dim))
-    return vae_decode(params, latent, text_emb, text_bias=text_bias, dtype=dtype)
+    return vae_decode(params, latent, text_emb, text_bias=text_bias,
+                      image_size=image_size, dtype=dtype)

@@ -1,0 +1,16 @@
+from psg_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from psg_tpu.parallel.sharding import param_shardings, unet_tp_rules
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "param_shardings",
+    "unet_tp_rules",
+]

@@ -1,0 +1,97 @@
+"""Optimizer construction (optax).
+
+Covers the reference's optimization surface:
+
+- AdamW/Adam with per-component param groups and learning rates
+  (vae_trainer.py:156-190: vae lr, text lr = text_encoder_lr or 0.1x);
+- per-component gradient clipping (vae 1.0 / text 0.5, vae_trainer.py:341-342);
+- epoch-level schedulers constant / cosine / step (vae_trainer.py:191-209)
+  and the stage-2 OneCycle per-step schedule with 10% warmup
+  (improved_diffusion_trainer.py:302-319) via optax.cosine_onecycle_schedule;
+- frozen components (finetune masks) as zero-update groups;
+- NaN/Inf robustness via ``optax.apply_if_finite`` — non-finite grads leave
+  params AND inner optimizer state untouched and bump a counter, the
+  branchless equivalent of the reference's skip-batch machinery
+  (improved_diffusion_trainer.py:376-393).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import optax
+
+
+def make_lr_schedule(kind: str, base_lr: float, *, total_steps: int,
+                     steps_per_epoch: int = 1, step_size_epochs: int = 30,
+                     gamma: float = 0.1, pct_start: float = 0.1):
+    """-> optax schedule fn.
+
+    'constant', 'cosine' (anneal to 0 over total_steps, the per-step
+    equivalent of CosineAnnealingLR(T_max=epochs)), 'step'
+    (StepLR(step_size, gamma)), 'onecycle' (OneCycleLR, pct_start warmup).
+    """
+    if kind == "constant":
+        return optax.constant_schedule(base_lr)
+    if kind == "cosine":
+        return optax.cosine_decay_schedule(base_lr, decay_steps=max(total_steps, 1))
+    if kind == "step":
+        boundaries = {}
+        e = step_size_epochs
+        scale = 1.0
+        while e * steps_per_epoch < total_steps:
+            scale *= gamma
+            boundaries[e * steps_per_epoch] = gamma
+            e += step_size_epochs
+        return optax.piecewise_constant_schedule(base_lr, boundaries)
+    if kind == "onecycle":
+        return optax.cosine_onecycle_schedule(
+            transition_steps=max(total_steps, 1), peak_value=base_lr,
+            pct_start=pct_start,
+        )
+    raise ValueError(f"unknown scheduler {kind!r}")
+
+
+def _group_tx(opt_cfg, lr_schedule, max_grad_norm: Optional[float]):
+    chain = []
+    if max_grad_norm is not None and max_grad_norm > 0:
+        chain.append(optax.clip_by_global_norm(max_grad_norm))
+    if opt_cfg.optimizer == "adamw":
+        chain.append(optax.adamw(lr_schedule, b1=opt_cfg.beta1, b2=opt_cfg.beta2,
+                                 eps=opt_cfg.eps, weight_decay=opt_cfg.weight_decay))
+    elif opt_cfg.optimizer == "adam":
+        chain.append(optax.adam(lr_schedule, b1=opt_cfg.beta1, b2=opt_cfg.beta2,
+                                eps=opt_cfg.eps))
+    else:
+        raise ValueError(f"unknown optimizer {opt_cfg.optimizer!r}")
+    return optax.chain(*chain)
+
+
+def build_optimizer(opt_cfg, groups: Dict[str, dict], label_tree,
+                    *, max_consecutive_errors: int = 1000):
+    """Multi-group optimizer.
+
+    groups: name -> {'lr_schedule': fn, 'max_grad_norm': float|None}
+            plus the implicit 'frozen' group (zero updates).
+    label_tree: pytree (matching params) of group-name strings.
+    """
+    transforms = {
+        name: _group_tx(opt_cfg, g["lr_schedule"], g.get("max_grad_norm"))
+        for name, g in groups.items()
+    }
+    transforms["frozen"] = optax.set_to_zero()
+    tx = optax.multi_transform(transforms, label_tree)
+    return optax.apply_if_finite(tx, max_consecutive_errors=max_consecutive_errors)
+
+
+def labels_from_mask(mask_tree, trainable_label: str):
+    """Boolean finetune-mask pytree -> label pytree (frozen/<label>)."""
+    return jax.tree_util.tree_map(
+        lambda t: trainable_label if t else "frozen", mask_tree
+    )
+
+
+def notfinite_count(opt_state):
+    """Skipped-batch counter from the apply_if_finite wrapper state."""
+    return opt_state.total_notfinite

@@ -1,0 +1,309 @@
+"""Stage 1: joint VAE + text-encoder training.
+
+Covers the reference VAETrainer (src/training/vae_trainer.py): KL-annealed
+L1 + perceptual + KL loss, per-component learning rates (vae lr, text lr)
+and gradient clipping (1.0 / 0.5, vae_trainer.py:341-342), cosine/step/
+constant schedulers, best-model checkpointing, periodic prior-sample grids.
+
+TPU-native structure: ONE jitted train step (text encode -> VAE forward ->
+loss -> grads -> multi-group optax update) with donated state; batches
+arrive pre-tokenized; the step is linear-algebra only — no host syncs, no
+NaN babysitting (optax.apply_if_finite supplies skip-batch semantics).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from psg_tpu.core.checkpoint import CheckpointManager
+from psg_tpu.core.config import Config
+from psg_tpu.core.metrics import MetricsWriter, Throughput, setup_logging
+from psg_tpu.core.stability import global_norm
+from psg_tpu.data import make_loaders
+from psg_tpu.models.bert import BertConfig
+from psg_tpu.models.losses import kl_anneal_weight, vae_loss
+from psg_tpu.models.text_encoder import (
+    finetune_mask,
+    text_encoder_apply,
+    text_encoder_init,
+)
+from psg_tpu.models.unet import text_bias_from_mask
+from psg_tpu.models.vae import vae_apply, vae_init, vae_sample
+from psg_tpu.models.vgg import vgg16_init
+from psg_tpu.text import WordPieceTokenizer
+from psg_tpu.train.optim import build_optimizer, labels_from_mask, make_lr_schedule
+from psg_tpu.train.state import TrainState
+from psg_tpu.utils.images import save_image_grid
+
+
+def bert_config_for(cfg: Config, vocab_size: int) -> BertConfig:
+    """Map the configured model name onto a BertConfig; vocab size follows
+    the tokenizer (offline corpus vocab) unless a converted checkpoint
+    dictates otherwise."""
+    name = cfg.model.bert_model.lower()
+    if "mini" in name:
+        base = BertConfig.mini()
+    elif "tiny-test" in name:
+        base = BertConfig.tiny_test()
+    else:
+        base = BertConfig.base()
+    return base._replace(vocab_size=vocab_size)
+
+
+def get_tokenizer(cfg: Config, stage_dir: Path, corpus=None) -> WordPieceTokenizer:
+    """vocab.txt resolution: stage dir -> experiment dir -> repo config dir
+    -> build from corpus (offline fallback) and persist to the stage dir."""
+    for cand in (
+        stage_dir / "vocab.txt",
+        Path(cfg.experiment_dir) / "vocab.txt",
+        Path("config/vocab.txt"),
+    ):
+        if cand.exists():
+            return WordPieceTokenizer.from_vocab_file(cand)
+    if corpus is None:
+        raise FileNotFoundError("no vocab.txt found and no corpus provided")
+    tok = WordPieceTokenizer.from_corpus(corpus)
+    stage_dir.mkdir(parents=True, exist_ok=True)
+    tok.save_vocab(stage_dir / "vocab.txt")
+    return tok
+
+
+class VAETrainer:
+    STAGE = "vae"
+
+    def __init__(self, cfg: Config, experiment_name: str = "pokemon",
+                 sample_descriptions=None):
+        self.cfg = cfg
+        self.stage_dir = Path(cfg.experiment_dir) / f"{experiment_name}_vae"
+        self.ckpt = CheckpointManager(self.stage_dir / "checkpoints", self.STAGE)
+        self.log = setup_logging(self.stage_dir / "logs", self.STAGE)
+        self.metrics = MetricsWriter(self.stage_dir / "logs")
+
+        # data (pre-tokenized; dataset loaded once, tokenizer resolved from
+        # vocab.txt or built from the corpus offline)
+        from psg_tpu.data.dataset import PokemonDataset
+
+        ds = PokemonDataset(cfg.data.csv_path, cfg.data.image_dir,
+                            image_size=cfg.data.image_size,
+                            background_color=cfg.data.background_color,
+                            text_len=cfg.data.text_len)
+        tok = get_tokenizer(cfg, self.stage_dir, corpus=ds.full_descriptions)
+        self.tokenizer = tok
+        self.train_loader, self.val_loader, self.test_loader, self.ds = make_loaders(
+            cfg, tok, ds=ds)
+
+        self.bert_cfg = bert_config_for(cfg, tok.vocab_size)
+        self.compute_dtype = (
+            jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None
+        )
+        from psg_tpu.models.vae import latent_size_for
+
+        self.latent_size = latent_size_for(cfg.data.image_size)
+
+        # params
+        key = jax.random.PRNGKey(cfg.seed)
+        k_vae, k_text, k_vgg, k_state = jax.random.split(key, 4)
+        params = {
+            "vae": vae_init(k_vae, cfg.model.latent_dim, cfg.model.text_embedding_dim),
+            "text": text_encoder_init(k_text, self.bert_cfg,
+                                      cfg.model.text_embedding_dim),
+        }
+        # perceptual-loss VGG: converted torchvision weights if available,
+        # else fixed-seed random features (see models/vgg.py docstring)
+        self.vgg_params = self._load_vgg(k_vgg)
+
+        # optimizer: vae group + text group (finetune-mask aware)
+        o = cfg.optimization
+        spe = max(len(self.train_loader), 1)
+        total = cfg.training.vae_epochs * spe
+        vae_sched = make_lr_schedule(o.scheduler, o.learning_rate,
+                                     total_steps=total, steps_per_epoch=spe)
+        text_lr = o.text_encoder_lr or o.learning_rate * 0.1
+        text_sched = make_lr_schedule(o.scheduler, text_lr,
+                                      total_steps=total, steps_per_epoch=spe)
+        text_labels = labels_from_mask(
+            finetune_mask(params["text"], self.bert_cfg,
+                          cfg.model.bert_finetune_strategy), "text")
+        label_tree = {
+            "vae": jax.tree_util.tree_map(lambda _: "vae", params["vae"]),
+            "text": text_labels,
+        }
+        self.tx = build_optimizer(
+            o,
+            {
+                "vae": {"lr_schedule": vae_sched, "max_grad_norm": o.max_grad_norm},
+                "text": {"lr_schedule": text_sched,
+                         "max_grad_norm": o.text_max_grad_norm},
+            },
+            label_tree,
+        )
+        self.state = TrainState.create(params, self.tx.init(params), k_state)
+        self.start_epoch = 0
+        self.best_val = float("inf")
+
+        self._train_step = jax.jit(self._step, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval)
+        self._sample_fn = jax.jit(self._sample)
+
+        self.sample_descriptions = sample_descriptions
+
+    # -- model fns ----------------------------------------------------------
+
+    def _load_vgg(self, key):
+        import os
+
+        path = os.environ.get("PSG_TPU_VGG16", "weights/vgg16_features.ckpt")
+        if Path(path).exists():
+            from psg_tpu.core.checkpoint import load_state
+
+            return load_state(path, vgg16_init(jax.random.PRNGKey(0)))
+        return vgg16_init(jax.random.PRNGKey(1234))
+
+    def _forward_loss(self, params, batch, rng, kl_weight, mode):
+        text_emb = text_encoder_apply(
+            params["text"], batch["text_ids"], batch["text_mask"],
+            self.bert_cfg, dtype=self.compute_dtype)
+        text_bias = text_bias_from_mask(batch["text_mask"])
+        out = vae_apply(params["vae"], rng, batch["image"], text_emb, mode,
+                        latent_dim=self.cfg.model.latent_dim,
+                        latent_size=self.latent_size,
+                        text_bias=text_bias, dtype=self.compute_dtype)
+        t = self.cfg.training
+        loss, parts = vae_loss(
+            self.vgg_params, out["reconstructed"], batch["image"],
+            out["mu"], out["logvar"],
+            reconstruction_weight=t.reconstruction_weight,
+            perceptual_weight=t.perceptual_weight,
+            kl_weight=kl_weight, dtype=self.compute_dtype)
+        return loss, parts
+
+    def _step(self, state: TrainState, batch, kl_weight):
+        rng = jax.random.fold_in(state.rng, state.step)
+
+        def loss_fn(p):
+            return self._forward_loss(p, batch, rng, kl_weight, "train")
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        parts = dict(parts)
+        parts["grad_norm"] = global_norm(grads)
+        parts["kl_weight"] = kl_weight
+        return TrainState(state.step + 1, params, opt_state, state.rng), parts
+
+    def _eval(self, state: TrainState, batch, kl_weight):
+        rng = jax.random.fold_in(state.rng, jnp.int32(-1))
+        _, parts = self._forward_loss(state.params, batch, rng, kl_weight, "val")
+        return parts
+
+    def _sample(self, params, rng, text_ids, text_mask):
+        text_emb = text_encoder_apply(params["text"], text_ids, text_mask,
+                                      self.bert_cfg, dtype=self.compute_dtype)
+        return vae_sample(params["vae"], rng, text_emb,
+                          latent_dim=self.cfg.model.latent_dim,
+                          latent_size=self.latent_size,
+                          text_bias=text_bias_from_mask(text_mask),
+                          dtype=self.compute_dtype)
+
+    # -- loops ---------------------------------------------------------------
+
+    def kl_weight(self, epoch: int) -> float:
+        t = self.cfg.training
+        return float(kl_anneal_weight(
+            epoch, start=t.kl_anneal_start, end=t.kl_anneal_end,
+            w_start=t.kl_weight_start, w_end=t.kl_weight_end))
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        klw = jnp.float32(self.kl_weight(epoch))
+        sums: Dict[str, float] = {}
+        count = 0
+        thr = Throughput()
+        for batch in self.train_loader:
+            batch = {k: v for k, v in batch.items()
+                     if k in ("image", "text_ids", "text_mask")}
+            self.state, parts = self._train_step(self.state, batch, klw)
+            count += 1
+            thr.step()
+            if count % self.cfg.training.log_every == 0:
+                vals = {k: float(v) for k, v in parts.items()}
+                self.metrics.scalars(vals, int(self.state.step), prefix="vae_train/")
+                self.log.info(
+                    "epoch %d step %d loss %.4f recon %.4f kl %.4f | %.0f batches/h",
+                    epoch, int(self.state.step), vals["total_loss"],
+                    vals["reconstruction_loss"], vals["kl_loss"],
+                    thr.batches_per_hour())
+            for k, v in parts.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        return {k: v / max(count, 1) for k, v in sums.items()}
+
+    def validate(self, epoch: int) -> float:
+        klw = jnp.float32(self.kl_weight(epoch))
+        total, n = 0.0, 0
+        for batch in self.val_loader:
+            valid = int(batch["valid"])
+            b = {k: batch[k] for k in ("image", "text_ids", "text_mask")}
+            parts = self._eval_step(self.state, b, klw)
+            total += float(parts["total_loss"]) * valid
+            n += valid
+        val = total / max(n, 1)
+        self.metrics.scalar("vae_val/total_loss", val, int(self.state.step))
+        return val
+
+    def generate_samples(self, epoch: int, num: int = 8):
+        descs = (self.sample_descriptions or self.ds.full_descriptions)[:num]
+        ids, mask = self.tokenizer.encode_batch(descs, self.cfg.data.text_len)
+        rng = jax.random.fold_in(self.state.rng, 10_000 + epoch)
+        imgs = self._sample_fn(self.state.params, rng, jnp.asarray(ids),
+                               jnp.asarray(mask))
+        save_image_grid(np.asarray(imgs),
+                        self.stage_dir / "samples" / f"epoch_{epoch:04d}.png",
+                        captions=descs)
+
+    def save_checkpoint(self, epoch: int, val_loss: float) -> bool:
+        return self.ckpt.save(self.state, int(self.state.step), val_loss,
+                              extra_meta={"epoch": epoch,
+                                          "config": self.cfg.to_dict()},
+                              periodic=(epoch % self.cfg.training.save_every == 0))
+
+    def load_checkpoint(self, path: Optional[str] = None):
+        if path is None:
+            self.state, meta = self.ckpt.restore(self.state, best=True)
+        else:
+            from psg_tpu.core.checkpoint import load_metadata, load_state
+
+            self.state = load_state(path, self.state)
+            meta = load_metadata(path)
+        self.start_epoch = int(meta.get("epoch", -1)) + 1
+        self.best_val = float(meta.get("metric", float("inf")))
+        self.log.info("restored checkpoint at epoch %d (val %.4f)",
+                      self.start_epoch, self.best_val)
+
+    def train(self) -> Path:
+        epochs = self.cfg.training.vae_epochs
+        self.log.info("stage 1: %d epochs, %d train batches/epoch",
+                      epochs, len(self.train_loader))
+        for epoch in range(self.start_epoch, epochs):
+            t0 = time.time()
+            self.train_loader.set_epoch(epoch)
+            train_stats = self.train_epoch(epoch)
+            val_loss = self.validate(epoch)
+            is_best = val_loss < self.best_val
+            if is_best:
+                self.best_val = val_loss
+            self.save_checkpoint(epoch, val_loss)
+            if (epoch + 1) % self.cfg.training.sample_every == 0:
+                self.generate_samples(epoch)
+            self.log.info(
+                "epoch %d done in %.1fs: train %.4f val %.4f%s",
+                epoch, time.time() - t0, train_stats.get("total_loss", 0.0),
+                val_loss, " (best)" if is_best else "")
+        self.metrics.flush()
+        return self.ckpt.best_path
