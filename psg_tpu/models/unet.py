@@ -312,5 +312,8 @@ def unet_apply(params, noisy_latent, timesteps, text_seq, spec: UNetSpec, *,
             x = bilinear_resize(x, (target, target))
             x = conv2d(params[f"up{lvl}"], x, stride=1, padding=1, dtype=dtype)
 
-    x = jax.nn.silu(group_norm(params["final_norm"], x, 32, eps=1e-5))
+    # GroupNorm(32, 320) in the reference (unet.py:397); the divisor rule
+    # generalizes it to narrow test configs
+    x = jax.nn.silu(group_norm(params["final_norm"], x,
+                               largest_group_count(ch[0]), eps=1e-5))
     return conv2d(params["final_conv"], x, stride=1, padding=1, dtype=dtype)

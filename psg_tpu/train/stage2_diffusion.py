@@ -1,0 +1,339 @@
+"""Stage 2: UNet diffusion training on frozen VAE latents.
+
+Covers the reference's default stage-2 trainer, ImprovedDiffusionTrainer
+(src/training/improved_diffusion_trainer.py), plus the legacy
+DiffusionTrainer's options behind config knobs:
+
+- frozen VAE encoder/decoder + text encoder loaded from the stage-1
+  checkpoint (improved_diffusion_trainer.py:177-208);
+- cosine beta schedule (default) or linear (legacy trainer / gradio);
+- latents clamped to +-3 (improved_diffusion_trainer.py:363);
+- SmoothL1(beta=0.1) loss (default; 'mse' = legacy, :300 / :257);
+- AdamW(eps 1e-6) with the unet_optimization > optimization > training
+  config cascade (:256-300);
+- scheduler 'cosine' means OneCycleLR over total steps with 10% warmup,
+  stepped per batch (:302-319,413) — 'constant' (the shipped config) stays
+  constant;
+- NaN-robust updates via optax.apply_if_finite + skipped-batch counter
+  (replaces :328-333,376-393 host machinery);
+- periodic sample grids via the strided fast DDPM sampler (:508-569)
+  decoded by the frozen VAE.
+
+The train step is one jitted function: frozen text encode + VAE encode,
+q_sample, UNet forward/backward, masked optimizer update — no host syncs.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from psg_tpu.core.checkpoint import CheckpointManager, load_metadata, load_state
+from psg_tpu.core.config import Config
+from psg_tpu.core.metrics import MetricsWriter, Throughput, setup_logging
+from psg_tpu.core.stability import global_norm
+from psg_tpu.data import make_loaders
+from psg_tpu.diffusion import ddpm_sample_fast, make_schedule
+from psg_tpu.models.losses import mse_loss, smooth_l1_loss
+from psg_tpu.models.text_encoder import text_encoder_apply, text_encoder_init
+from psg_tpu.models.unet import UNetSpec, text_bias_from_mask, unet_apply, unet_init
+from psg_tpu.models.vae import (
+    latent_size_for,
+    vae_decode,
+    vae_encoder_apply,
+    vae_init,
+    reparameterize,
+)
+from psg_tpu.train.optim import build_optimizer, make_lr_schedule
+from psg_tpu.train.stage1_vae import bert_config_for, get_tokenizer
+from psg_tpu.train.state import TrainState
+from psg_tpu.utils.images import save_image_grid
+
+
+def unet_spatial_for(latent_size: int, levels: int = 4):
+    """Per-level spatial sizes under stride-2 k3 p1 downsamples
+    (torch floor semantics): 27 -> 14 -> 7 -> 4."""
+    sizes = [latent_size]
+    for _ in range(levels - 1):
+        sizes.append((sizes[-1] + 1) // 2)
+    return tuple(sizes)
+
+
+def unet_spec_from_config(cfg: Config, latent_size: Optional[int] = None) -> UNetSpec:
+    m = cfg.model
+    ls = latent_size if latent_size is not None else latent_size_for(cfg.data.image_size)
+    return UNetSpec(
+        latent_dim=m.latent_dim,
+        text_dim=m.text_embedding_dim,
+        time_emb_dim=m.time_emb_dim,
+        num_heads=m.num_attention_heads,
+        channels=tuple(m.unet_channels),
+        spatial=unet_spatial_for(ls, len(m.unet_channels)),
+        self_attn_scale=m.self_attn_scale,
+        cross_attn_scale=m.cross_attn_scale,
+        ffn_scale=m.ffn_scale,
+        attn_dropout=m.attn_dropout,
+    )
+
+
+class DiffusionTrainer:
+    """Stage-2 trainer (the reference aliases ImprovedDiffusionTrainer to
+    DiffusionTrainer, src/training/__init__.py:7)."""
+
+    STAGE = "diffusion"
+
+    def __init__(self, cfg: Config, vae_checkpoint_path,
+                 experiment_name: str = "pokemon"):
+        self.cfg = cfg
+        self.stage_dir = Path(cfg.experiment_dir) / f"{experiment_name}_diffusion"
+        self.ckpt = CheckpointManager(self.stage_dir / "checkpoints", self.STAGE)
+        self.log = setup_logging(self.stage_dir / "logs", self.STAGE)
+        self.metrics = MetricsWriter(self.stage_dir / "logs")
+
+        from psg_tpu.data.dataset import PokemonDataset
+
+        ds = PokemonDataset(cfg.data.csv_path, cfg.data.image_dir,
+                            image_size=cfg.data.image_size,
+                            background_color=cfg.data.background_color,
+                            text_len=cfg.data.text_len)
+        self.tokenizer = get_tokenizer(cfg, self.stage_dir,
+                                       corpus=ds.full_descriptions)
+        self.train_loader, self.val_loader, self.test_loader, self.ds = make_loaders(
+            cfg, self.tokenizer, ds=ds)
+
+        self.bert_cfg = bert_config_for(cfg, self.tokenizer.vocab_size)
+        self.compute_dtype = (
+            jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None
+        )
+        self.latent_size = latent_size_for(cfg.data.image_size)
+        self.spec = unet_spec_from_config(cfg, self.latent_size)
+
+        # frozen stage-1 components (improved_diffusion_trainer.py:177-208)
+        self.frozen = self._load_frozen(vae_checkpoint_path)
+
+        # diffusion schedule (cosine default, :41-48)
+        m = cfg.model
+        self.schedule = make_schedule(m.num_timesteps, m.beta_start, m.beta_end,
+                                      m.beta_schedule)
+
+        # UNet + optimizer with the unet_optimization override cascade
+        key = jax.random.PRNGKey(cfg.seed + 1)
+        k_unet, k_state = jax.random.split(key)
+        unet_params = unet_init(k_unet, self.spec)
+
+        uo = cfg.extra.get("unet_optimization", {}) if cfg.extra else {}
+        o = cfg.optimization
+        lr = uo.get("learning_rate", o.learning_rate)
+        sched_kind = uo.get("scheduler", o.scheduler)
+        spe = max(len(self.train_loader), 1)
+        total_steps = cfg.training.diffusion_epochs * spe
+        # stage-2 'cosine' == OneCycle with 10% warmup (:302-319)
+        kind = "onecycle" if sched_kind == "cosine" else sched_kind
+        lr_sched = make_lr_schedule(kind, lr, total_steps=total_steps,
+                                    steps_per_epoch=spe,
+                                    pct_start=o.onecycle_pct_start)
+        import dataclasses
+
+        # AdamW eps=1e-6 for stability (improved_diffusion_trainer.py:283,291)
+        opt_cfg = dataclasses.replace(
+            o, eps=1e-6, weight_decay=uo.get("weight_decay", o.weight_decay))
+        labels = jax.tree_util.tree_map(lambda _: "unet", unet_params)
+        self.tx = build_optimizer(
+            opt_cfg,
+            {"unet": {"lr_schedule": lr_sched,
+                      "max_grad_norm": uo.get("max_grad_norm", o.max_grad_norm)}},
+            labels,
+        )
+        self.state = TrainState.create(unet_params, self.tx.init(unet_params), k_state)
+        self.start_epoch = 0
+        self.best_val = float("inf")
+        self.loss_kind = (cfg.extra or {}).get("diffusion_loss", "smooth_l1")
+
+        self._train_step = jax.jit(self._step, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval)
+        self._sample_fn = jax.jit(self._sample, static_argnames=("num", "stride"))
+
+    # -- setup ---------------------------------------------------------------
+
+    def _load_frozen(self, vae_checkpoint_path) -> Dict:
+        """Load {'vae','text'} params from a stage-1 checkpoint; random init
+        fallback when absent (parallels diffusers_trainer.py:258-269)."""
+        key = jax.random.PRNGKey(self.cfg.seed)
+        k_vae, k_text, _, _ = jax.random.split(key, 4)
+        template = {
+            "vae": vae_init(k_vae, self.cfg.model.latent_dim,
+                            self.cfg.model.text_embedding_dim),
+            "text": text_encoder_init(k_text, self.bert_cfg,
+                                      self.cfg.model.text_embedding_dim),
+        }
+        if vae_checkpoint_path and Path(vae_checkpoint_path).exists():
+            tmpl_state = TrainState.create(template, (), jax.random.PRNGKey(0))
+            # stage-1 checkpoints serialize the full TrainState; tolerate a
+            # bare-params dict too (multi-format loading like
+            # improved_diffusion_trainer.py:181-191)
+            try:
+                restored = load_state(vae_checkpoint_path, tmpl_state)
+                params = restored.params
+            except Exception:
+                params = load_state(vae_checkpoint_path, template)
+            self.log.info("loaded frozen VAE/text from %s", vae_checkpoint_path)
+            return jax.device_put(params)
+        self.log.warning("no VAE checkpoint at %r — using random frozen weights",
+                         str(vae_checkpoint_path))
+        return jax.device_put(template)
+
+    # -- jitted fns -----------------------------------------------------------
+
+    def _prep_latents(self, frozen, batch, rng):
+        text_emb = text_encoder_apply(frozen["text"], batch["text_ids"],
+                                      batch["text_mask"], self.bert_cfg,
+                                      dtype=self.compute_dtype)
+        mu, logvar = vae_encoder_apply(frozen["vae"]["encoder"], batch["image"],
+                                       dtype=self.compute_dtype)
+        latent = reparameterize(rng, mu, logvar)
+        clamp = self.cfg.model.latent_clamp
+        latent = jnp.clip(latent, -clamp, clamp)  # (:363)
+        return text_emb, latent
+
+    def _noise_loss(self, unet_params, frozen, batch, rng, dropout_key=None):
+        k_rep, k_t, k_noise = jax.random.split(rng, 3)
+        text_emb, latent = self._prep_latents(frozen, batch, k_rep)
+        b = latent.shape[0]
+        t = jax.random.randint(k_t, (b,), 0, self.schedule.num_timesteps)
+        noise = jax.random.normal(k_noise, latent.shape, jnp.float32)
+        noisy = self.schedule.add_noise(latent, noise, t)
+        pred = unet_apply(unet_params, noisy.astype(latent.dtype), t, text_emb,
+                          self.spec, text_mask=batch["text_mask"],
+                          dtype=self.compute_dtype, dropout_key=dropout_key)
+        if self.loss_kind == "mse":
+            return mse_loss(pred, noise)
+        return smooth_l1_loss(pred, noise, beta=0.1)
+
+    def _step(self, state: TrainState, frozen, batch):
+        rng = jax.random.fold_in(state.rng, state.step)
+        k_loss, k_drop = jax.random.split(rng)
+
+        def loss_fn(p):
+            return self._noise_loss(p, frozen, batch, k_loss, dropout_key=k_drop)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "grad_norm": global_norm(grads)}
+        return TrainState(state.step + 1, params, opt_state, state.rng), metrics
+
+    def _eval(self, state: TrainState, frozen, batch):
+        rng = jax.random.fold_in(state.rng, jnp.int32(-2))
+        loss = self._noise_loss(state.params, frozen, batch, rng)
+        return {"loss": loss}
+
+    def _sample(self, unet_params, frozen, rng, text_ids, text_mask, *,
+                num: int, stride: int = 50):
+        text_emb = text_encoder_apply(frozen["text"], text_ids, text_mask,
+                                      self.bert_cfg, dtype=self.compute_dtype)
+        mask_bias = text_bias_from_mask(text_mask)
+
+        def denoise(x, t):
+            return unet_apply(unet_params, x.astype(text_emb.dtype), t, text_emb,
+                              self.spec, text_mask=text_mask,
+                              dtype=self.compute_dtype)
+
+        shape = (num, self.latent_size, self.latent_size, self.cfg.model.latent_dim)
+        latents = ddpm_sample_fast(denoise, self.schedule, rng, shape=shape,
+                                   stride=stride)
+        return vae_decode(frozen["vae"], latents.astype(text_emb.dtype), text_emb,
+                          text_bias=mask_bias, image_size=self.cfg.data.image_size,
+                          dtype=self.compute_dtype)
+
+    # -- loops -----------------------------------------------------------------
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        sums: Dict[str, float] = {}
+        count = 0
+        thr = Throughput()
+        for batch in self.train_loader:
+            b = {k: batch[k] for k in ("image", "text_ids", "text_mask")}
+            self.state, parts = self._train_step(self.state, self.frozen, b)
+            count += 1
+            thr.step()
+            if count % self.cfg.training.log_every == 0:
+                vals = {k: float(v) for k, v in parts.items()}
+                self.metrics.scalars(vals, int(self.state.step),
+                                     prefix="diffusion_train/")
+                self.log.info("epoch %d step %d loss %.4f gnorm %.2f | %.0f b/h",
+                              epoch, int(self.state.step), vals["loss"],
+                              vals["grad_norm"], thr.batches_per_hour())
+            for k, v in parts.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        return {k: v / max(count, 1) for k, v in sums.items()}
+
+    def validate(self, epoch: int) -> float:
+        total, n = 0.0, 0
+        for batch in self.val_loader:
+            valid = int(batch["valid"])
+            b = {k: batch[k] for k in ("image", "text_ids", "text_mask")}
+            parts = self._eval_step(self.state, self.frozen, b)
+            total += float(parts["loss"]) * valid
+            n += valid
+        val = total / max(n, 1)
+        self.metrics.scalar("diffusion_val/loss", val, int(self.state.step))
+        return val
+
+    def generate_samples(self, epoch: int, num: int = 8, stride: int = 50):
+        descs = self.ds.full_descriptions[:num]
+        ids, mask = self.tokenizer.encode_batch(descs, self.cfg.data.text_len)
+        rng = jax.random.fold_in(self.state.rng, 20_000 + epoch)
+        imgs = self._sample_fn(self.state.params, self.frozen, rng,
+                               jnp.asarray(ids), jnp.asarray(mask),
+                               num=num, stride=stride)
+        save_image_grid(np.asarray(imgs),
+                        self.stage_dir / "samples" / f"epoch_{epoch:04d}.png",
+                        captions=descs)
+
+    def skipped_batches(self) -> int:
+        try:
+            return int(self.state.opt_state.total_notfinite)
+        except AttributeError:  # pragma: no cover
+            return 0
+
+    def save_checkpoint(self, epoch: int, val_loss: float) -> bool:
+        return self.ckpt.save(self.state, int(self.state.step), val_loss,
+                              extra_meta={"epoch": epoch,
+                                          "config": self.cfg.to_dict()},
+                              periodic=(epoch % self.cfg.training.save_every == 0))
+
+    def load_checkpoint(self, path: Optional[str] = None):
+        if path is None:
+            self.state, meta = self.ckpt.restore(self.state, best=True)
+        else:
+            self.state = load_state(path, self.state)
+            meta = load_metadata(path)
+        self.start_epoch = int(meta.get("epoch", -1)) + 1
+        self.best_val = float(meta.get("metric", float("inf")))
+
+    def train(self) -> Path:
+        epochs = self.cfg.training.diffusion_epochs
+        self.log.info("stage 2: %d epochs, %d train batches/epoch",
+                      epochs, len(self.train_loader))
+        for epoch in range(self.start_epoch, epochs):
+            t0 = time.time()
+            self.train_loader.set_epoch(epoch)
+            stats = self.train_epoch(epoch)
+            val_loss = self.validate(epoch)
+            if val_loss < self.best_val:
+                self.best_val = val_loss
+            self.save_checkpoint(epoch, val_loss)
+            if (epoch + 1) % self.cfg.training.sample_every == 0:
+                self.generate_samples(epoch)
+            self.log.info(
+                "epoch %d done in %.1fs: train %.4f val %.4f skipped %d",
+                epoch, time.time() - t0, stats.get("loss", 0.0), val_loss,
+                self.skipped_batches())
+        self.metrics.flush()
+        return self.ckpt.best_path

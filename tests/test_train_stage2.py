@@ -1,0 +1,98 @@
+"""End-to-end stage-2 slice: stage-1 checkpoint -> frozen encode ->
+UNet diffusion training -> fast-DDPM sample grid."""
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from psg_tpu.core.config import Config
+from psg_tpu.train.stage2_diffusion import (
+    DiffusionTrainer,
+    unet_spatial_for,
+    unet_spec_from_config,
+)
+
+CSV = Path("/root/reference/data/text_description_concat.csv")
+IMAGES = Path("/root/reference/data/small_images")
+
+needs_data = pytest.mark.skipif(not CSV.exists(), reason="reference dataset not mounted")
+
+
+def _tiny_cfg(tmp) -> Config:
+    cfg = Config()
+    cfg.experiment_dir = str(tmp)
+    cfg.model.bert_model = "tiny-test"
+    cfg.model.text_embedding_dim = 48
+    cfg.model.unet_channels = (16, 24, 32, 32)
+    cfg.model.num_attention_heads = 4
+    cfg.model.time_emb_dim = 32
+    cfg.data.csv_path = str(CSV)
+    cfg.data.image_dir = str(IMAGES)
+    cfg.data.image_size = 64
+    cfg.data.batch_size = 2
+    cfg.data.text_len = 32
+    cfg.data.num_workers = 2
+    cfg.training.diffusion_epochs = 1
+    cfg.training.log_every = 2
+    cfg.training.sample_every = 1
+    return cfg
+
+
+def test_unet_spatial_for():
+    assert unet_spatial_for(27) == (27, 14, 7, 4)
+    assert unet_spatial_for(9) == (9, 5, 3, 2)
+
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    if not CSV.exists():
+        pytest.skip("reference dataset not mounted")
+    tmp = tmp_path_factory.mktemp("exp2")
+    cfg = _tiny_cfg(tmp)
+    t = DiffusionTrainer(cfg, vae_checkpoint_path=None, experiment_name="t")
+    t.train_loader.indices = t.train_loader.indices[:8]
+    t.val_loader.indices = t.val_loader.indices[:4]
+    return t
+
+
+@needs_data
+def test_spec_from_config(trainer):
+    spec = unet_spec_from_config(trainer.cfg, trainer.latent_size)
+    assert spec.spatial == (9, 5, 3, 2)
+    assert spec.channels == (16, 24, 32, 32)
+
+
+@needs_data
+def test_train_and_sample(trainer):
+    best = trainer.train()
+    assert best.exists()
+    assert int(trainer.state.step) == 4  # 8 samples / batch 2
+    assert trainer.skipped_batches() == 0
+    samples = list((trainer.stage_dir / "samples").glob("*.png"))
+    assert samples
+
+
+@needs_data
+def test_onecycle_schedule_selected_for_cosine(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    cfg.optimization.scheduler = "cosine"
+    t = DiffusionTrainer(cfg, vae_checkpoint_path=None, experiment_name="t2")
+    # OneCycle starts well below peak (warmup)
+    from psg_tpu.train.optim import make_lr_schedule
+
+    sched = make_lr_schedule("onecycle", 1e-3, total_steps=100, pct_start=0.1)
+    assert float(sched(0)) < 1e-3 / 2
+    assert float(sched(10)) == pytest.approx(1e-3, rel=1e-3)
+    assert float(sched(99)) < 1e-4
+
+
+@needs_data
+def test_frozen_params_not_in_opt_state(trainer):
+    # optimizer state must only cover the UNet params
+    import jax
+
+    n_opt_leaves = len(jax.tree_util.tree_leaves(trainer.state.opt_state))
+    n_unet_leaves = len(jax.tree_util.tree_leaves(trainer.state.params))
+    assert n_opt_leaves <= 2 * n_unet_leaves + 10
