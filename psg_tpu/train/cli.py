@@ -1,0 +1,112 @@
+"""3-stage training orchestration CLI.
+
+Equivalent of the reference's ``train_3stage.py`` with the same flag
+surface (train_3stage.py:28-54): ``--config --stage {1,2,3,all}
+--vae-checkpoint --diffusion-checkpoint --experiment-name --resume
+--data-stats`` plus ``--override section.key=value`` (typed-config extra).
+``--use-diffusers`` is accepted and reported as not-yet-supported (the
+SD-1.5 UNet path is documented as deferred; the custom UNet is the primary
+path, SURVEY.md §2.5).
+
+Stage hand-off follows the reference's path convention
+(train_3stage.py:98,144,158-167):
+``{experiment_dir}/{name}_vae/checkpoints/vae_best_model.ckpt`` feeds
+stage 2, etc.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+from psg_tpu.core.config import load_config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="3-stage Pokemon sprite generator training (TPU)")
+    p.add_argument("--config", type=str, default="config/train_config.yaml")
+    p.add_argument("--stage", type=str, default="all", choices=["1", "2", "3", "all"])
+    p.add_argument("--use-diffusers", action="store_true",
+                   help="use the pretrained SD-1.5 UNet wrapper (not yet supported)")
+    p.add_argument("--vae-checkpoint", type=str, default=None)
+    p.add_argument("--diffusion-checkpoint", type=str, default=None)
+    p.add_argument("--experiment-name", type=str, default="pokemon")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint path to resume the active stage from")
+    p.add_argument("--data-stats", action="store_true",
+                   help="print dataset statistics and exit")
+    p.add_argument("--override", action="append", default=[],
+                   help="config override, e.g. training.vae_epochs=3")
+    return p
+
+
+def stage_ckpt(cfg, name: str, stage: str) -> Path:
+    return (Path(cfg.experiment_dir) / f"{name}_{stage}" / "checkpoints"
+            / f"{stage}_best_model.ckpt")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = load_config(args.config if Path(args.config).exists() else None,
+                      overrides=args.override)
+
+    if args.data_stats:
+        from psg_tpu.data import PokemonDataset, dataset_statistics
+
+        ds = PokemonDataset(cfg.data.csv_path, cfg.data.image_dir,
+                            image_size=cfg.data.image_size,
+                            background_color=cfg.data.background_color)
+        stats = dataset_statistics(ds)
+        for k, v in stats.items():
+            print(f"{k}: {v}")
+        return 0
+
+    if args.use_diffusers:
+        print("--use-diffusers: the SD-1.5 UNet path is not supported yet; "
+              "the custom UNet (stage 2 default) is the primary path.")
+        return 2
+
+    name = args.experiment_name
+    run_all = args.stage == "all"
+
+    vae_ckpt = args.vae_checkpoint or str(stage_ckpt(cfg, name, "vae"))
+    diff_ckpt = args.diffusion_checkpoint or str(stage_ckpt(cfg, name, "diffusion"))
+
+    if run_all or args.stage == "1":
+        from psg_tpu.train.stage1_vae import VAETrainer
+
+        t = VAETrainer(cfg, experiment_name=name)
+        if args.resume and args.stage == "1":
+            t.load_checkpoint(args.resume)
+        best = t.train()
+        vae_ckpt = str(best)
+        print(f"stage 1 complete: {best}")
+
+    if run_all or args.stage == "2":
+        from psg_tpu.train.stage2_diffusion import DiffusionTrainer
+
+        t = DiffusionTrainer(cfg, vae_checkpoint_path=vae_ckpt,
+                             experiment_name=name)
+        if args.resume and args.stage == "2":
+            t.load_checkpoint(args.resume)
+        best = t.train()
+        diff_ckpt = str(best)
+        print(f"stage 2 complete: {best}")
+
+    if run_all or args.stage == "3":
+        from psg_tpu.train.stage3_final import FinalTrainer
+
+        t = FinalTrainer(cfg, vae_checkpoint_path=vae_ckpt,
+                         diffusion_checkpoint_path=diff_ckpt,
+                         experiment_name=name)
+        if args.resume and args.stage == "3":
+            t.load_checkpoint(args.resume)
+        best = t.train()
+        print(f"stage 3 complete: {best}")
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

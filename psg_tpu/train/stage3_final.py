@@ -1,0 +1,357 @@
+"""Stage 3: text-encoder fine-tune + optional joint fine-tune.
+
+Covers the reference FinalTrainer / FinalPokemonGenerator
+(src/training/final_trainer.py):
+
+- loads frozen VAE (stage 1) and UNet (stage 2) checkpoints; text encoder
+  starts from the stage-1 weights (final_trainer.py:90-163);
+- training loss is an encode->decode roundtrip (VAE encoder under
+  stop_gradient, :215-236): L1 + 0.1*MSE (:425-440) +
+  clip_weight * CLIP alignment loss (:469-473) — diffusion is NOT in the
+  training loss path;
+- two phases: text-encoder-only, then ``switch_to_joint_training`` at
+  ``phase1_epochs`` (default final_epochs // 2) unfreezes decoder + UNet
+  and rebuilds the optimizer with 3 param groups (text lr; decoder/unet
+  lr = 0.1 x text lr; :590-642,699-700);
+- sampling exercises the full DDPM chain with the posterior-variance
+  sampler over uniformly-strided timesteps (:165-213).
+
+Phase switching under jit: both phase optimizers are built up front as
+label trees; the switch swaps the transform + re-inits optimizer state
+(the reference also rebuilds its optimizer at the switch).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from psg_tpu.core.checkpoint import CheckpointManager, load_metadata, load_state
+from psg_tpu.core.config import Config
+from psg_tpu.core.metrics import MetricsWriter, setup_logging
+from psg_tpu.core.stability import global_norm
+from psg_tpu.data import make_loaders
+from psg_tpu.diffusion import ddpm_sample, make_schedule
+from psg_tpu.models.clip import ClipConfig, clip_alignment_loss, clip_init
+from psg_tpu.models.losses import l1_loss, mse_loss
+from psg_tpu.models.text_encoder import text_encoder_apply, text_encoder_init
+from psg_tpu.models.unet import text_bias_from_mask, unet_apply, unet_init
+from psg_tpu.models.vae import (
+    latent_size_for,
+    reparameterize,
+    vae_decode,
+    vae_encoder_apply,
+    vae_init,
+)
+from psg_tpu.train.optim import build_optimizer, make_lr_schedule
+from psg_tpu.train.stage1_vae import bert_config_for, get_tokenizer
+from psg_tpu.train.stage2_diffusion import unet_spec_from_config
+from psg_tpu.train.state import TrainState
+from psg_tpu.utils.images import save_image_grid
+
+
+class FinalTrainer:
+    STAGE = "final"
+
+    def __init__(self, cfg: Config, vae_checkpoint_path, diffusion_checkpoint_path,
+                 experiment_name: str = "pokemon"):
+        self.cfg = cfg
+        self.stage_dir = Path(cfg.experiment_dir) / f"{experiment_name}_final"
+        self.ckpt = CheckpointManager(self.stage_dir / "checkpoints", self.STAGE)
+        self.log = setup_logging(self.stage_dir / "logs", self.STAGE)
+        self.metrics = MetricsWriter(self.stage_dir / "logs")
+
+        from psg_tpu.data.dataset import PokemonDataset
+
+        ds = PokemonDataset(cfg.data.csv_path, cfg.data.image_dir,
+                            image_size=cfg.data.image_size,
+                            background_color=cfg.data.background_color,
+                            text_len=cfg.data.text_len)
+        self.tokenizer = get_tokenizer(cfg, self.stage_dir,
+                                       corpus=ds.full_descriptions)
+        self.train_loader, self.val_loader, self.test_loader, self.ds = make_loaders(
+            cfg, self.tokenizer, ds=ds)
+
+        self.bert_cfg = bert_config_for(cfg, self.tokenizer.vocab_size)
+        self.compute_dtype = (
+            jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None
+        )
+        self.latent_size = latent_size_for(cfg.data.image_size)
+        self.spec = unet_spec_from_config(cfg, self.latent_size)
+        m = cfg.model
+        self.schedule = make_schedule(m.num_timesteps, m.beta_start, m.beta_end,
+                                      m.beta_schedule)
+
+        params = self._load_params(vae_checkpoint_path, diffusion_checkpoint_path)
+
+        # frozen CLIP (converted weights if available, else fixed random)
+        self.clip_cfg = (ClipConfig.tiny_test(self.tokenizer.vocab_size)
+                         if "tiny-test" in cfg.model.bert_model
+                         else ClipConfig.b32()._replace(
+                             text_vocab=self.tokenizer.vocab_size))
+        self.clip_params = self._load_clip()
+
+        # optimizers for both phases
+        o = cfg.optimization
+        epochs = cfg.training.final_epochs
+        spe = max(len(self.train_loader), 1)
+        text_lr = o.text_encoder_lr or o.learning_rate * 0.1
+        sched_kind = o.scheduler if o.scheduler in ("cosine", "step") else "constant"
+
+        def sched(lr):
+            return make_lr_schedule(sched_kind, lr, total_steps=epochs * spe,
+                                    steps_per_epoch=spe)
+
+        dec_lr = (cfg.extra or {}).get("optimization", {}).get(
+            "vae_decoder_lr", text_lr * 0.1)
+        unet_lr = (cfg.extra or {}).get("optimization", {}).get(
+            "unet_lr", text_lr * 0.1)
+
+        def label_all(tree, name):
+            return jax.tree_util.tree_map(lambda _: name, tree)
+
+        labels_p1 = {
+            "text": label_all(params["text"], "text"),
+            "vae": label_all(params["vae"], "frozen"),
+            "unet": label_all(params["unet"], "frozen"),
+        }
+        labels_p2 = {
+            "text": label_all(params["text"], "text"),
+            "vae": {
+                "encoder": label_all(params["vae"]["encoder"], "frozen"),
+                "decoder": label_all(params["vae"]["decoder"], "decoder"),
+            },
+            "unet": label_all(params["unet"], "unet"),
+        }
+        groups_p1 = {"text": {"lr_schedule": sched(text_lr),
+                              "max_grad_norm": o.max_grad_norm}}
+        groups_p2 = {
+            "text": {"lr_schedule": sched(text_lr), "max_grad_norm": o.max_grad_norm},
+            "decoder": {"lr_schedule": sched(dec_lr), "max_grad_norm": o.max_grad_norm},
+            "unet": {"lr_schedule": sched(unet_lr), "max_grad_norm": o.max_grad_norm},
+        }
+        self.tx_phase1 = build_optimizer(o, groups_p1, labels_p1)
+        self.tx_phase2 = build_optimizer(o, groups_p2, labels_p2)
+
+        self.phase = "text_encoder"
+        self.tx = self.tx_phase1
+        key = jax.random.PRNGKey(cfg.seed + 2)
+        self.state = TrainState.create(params, self.tx.init(params), key)
+        self.start_epoch = 0
+        self.best_val = float("inf")
+
+        self._jit_steps()
+
+    def _jit_steps(self):
+        self._train_step = jax.jit(self._step, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval)
+        self._sample_fn = jax.jit(self._sample, static_argnames=("num", "steps"))
+
+    # -- setup -----------------------------------------------------------------
+
+    def _load_params(self, vae_path, diff_path) -> Dict:
+        key = jax.random.PRNGKey(self.cfg.seed)
+        k_vae, k_text, k_unet, _ = jax.random.split(key, 4)
+        vae_tmpl = {
+            "vae": vae_init(k_vae, self.cfg.model.latent_dim,
+                            self.cfg.model.text_embedding_dim),
+            "text": text_encoder_init(k_text, self.bert_cfg,
+                                      self.cfg.model.text_embedding_dim),
+        }
+        unet_tmpl = unet_init(k_unet, self.spec)
+
+        if vae_path and Path(vae_path).exists():
+            st = load_state(vae_path,
+                            TrainState.create(vae_tmpl, (), jax.random.PRNGKey(0)))
+            vae_tmpl = st.params
+            self.log.info("loaded VAE+text from %s", vae_path)
+        else:
+            self.log.warning("no VAE checkpoint (%r) — random init", str(vae_path))
+        if diff_path and Path(diff_path).exists():
+            st = load_state(diff_path,
+                            TrainState.create(unet_tmpl, (), jax.random.PRNGKey(0)))
+            unet_tmpl = st.params
+            self.log.info("loaded UNet from %s", diff_path)
+        else:
+            self.log.warning("no diffusion checkpoint (%r) — random init",
+                             str(diff_path))
+        return {"vae": vae_tmpl["vae"], "text": vae_tmpl["text"], "unet": unet_tmpl}
+
+    def _load_clip(self):
+        import os
+
+        path = os.environ.get("PSG_TPU_CLIP", "weights/clip_vit_b32.ckpt")
+        if Path(path).exists():
+            return load_state(path, clip_init(jax.random.PRNGKey(0), self.clip_cfg))
+        return clip_init(jax.random.PRNGKey(4321), self.clip_cfg)
+
+    # -- jitted fns --------------------------------------------------------------
+
+    def _roundtrip(self, params, batch, rng):
+        """encode (stop-grad) -> decode with trainable text conditioning
+        (final_trainer.py:215-236)."""
+        text_emb = text_encoder_apply(params["text"], batch["text_ids"],
+                                      batch["text_mask"], self.bert_cfg,
+                                      dtype=self.compute_dtype)
+        mu, logvar = vae_encoder_apply(params["vae"]["encoder"], batch["image"],
+                                       dtype=self.compute_dtype)
+        latent = reparameterize(rng, mu, logvar)
+        latent = jax.lax.stop_gradient(latent)
+        recon = vae_decode(params["vae"], latent.astype(text_emb.dtype), text_emb,
+                           text_bias=text_bias_from_mask(batch["text_mask"]),
+                           image_size=self.cfg.data.image_size,
+                           dtype=self.compute_dtype)
+        return recon
+
+    def _loss(self, params, batch, rng):
+        recon = self._roundtrip(params, batch, rng)
+        l1 = l1_loss(recon, batch["image"])
+        mse = mse_loss(recon, batch["image"])
+        gen_loss = l1 + 0.1 * mse  # (:425-440)
+        clip = clip_alignment_loss(self.clip_params, recon, batch["text_ids"],
+                                   batch["text_mask"], self.clip_cfg,
+                                   dtype=self.compute_dtype)
+        total = gen_loss + self.cfg.training.clip_weight * clip
+        return total, {"total_loss": total, "l1_loss": l1, "mse_loss": mse,
+                       "clip_loss": clip}
+
+    def _step(self, state: TrainState, batch):
+        rng = jax.random.fold_in(state.rng, state.step)
+
+        def loss_fn(p):
+            return self._loss(p, batch, rng)
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        parts = dict(parts)
+        parts["grad_norm"] = global_norm(grads)
+        return TrainState(state.step + 1, params, opt_state, state.rng), parts
+
+    def _eval(self, state: TrainState, batch):
+        rng = jax.random.fold_in(state.rng, jnp.int32(-3))
+        _, parts = self._loss(state.params, batch, rng)
+        return parts
+
+    def _sample(self, params, rng, text_ids, text_mask, *, num: int,
+                steps: int = 50):
+        """Full text->sprite chain with the posterior-variance sampler
+        (FinalPokemonGenerator.forward, final_trainer.py:165-213)."""
+        text_emb = text_encoder_apply(params["text"], text_ids, text_mask,
+                                      self.bert_cfg, dtype=self.compute_dtype)
+
+        def denoise(x, t):
+            return unet_apply(params["unet"], x.astype(text_emb.dtype), t,
+                              text_emb, self.spec, text_mask=text_mask,
+                              dtype=self.compute_dtype)
+
+        shape = (num, self.latent_size, self.latent_size, self.cfg.model.latent_dim)
+        from psg_tpu.diffusion.sampling import ddpm_sample_x0
+
+        latents = ddpm_sample_x0(denoise, self.schedule, rng, shape=shape,
+                                 num_inference_steps=steps)
+        return vae_decode(params["vae"], latents.astype(text_emb.dtype), text_emb,
+                          text_bias=text_bias_from_mask(text_mask),
+                          image_size=self.cfg.data.image_size,
+                          dtype=self.compute_dtype)
+
+    # -- phase switch ---------------------------------------------------------
+
+    def switch_to_joint_training(self):
+        """Unfreeze decoder + UNet, fresh 3-group optimizer (:590-642)."""
+        self.log.info("switching to joint training (unfreeze decoder + unet)")
+        self.phase = "joint"
+        self.tx = self.tx_phase2
+        self.state = TrainState(self.state.step, self.state.params,
+                                self.tx.init(self.state.params), self.state.rng)
+        self._jit_steps()
+
+    # -- loops ------------------------------------------------------------------
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        sums: Dict[str, float] = {}
+        count = 0
+        for batch in self.train_loader:
+            b = {k: batch[k] for k in ("image", "text_ids", "text_mask")}
+            self.state, parts = self._train_step(self.state, b)
+            count += 1
+            if count % self.cfg.training.log_every == 0:
+                vals = {k: float(v) for k, v in parts.items()}
+                self.metrics.scalars(vals, int(self.state.step),
+                                     prefix="final_train/")
+                self.log.info("epoch %d step %d loss %.4f clip %.4f",
+                              epoch, int(self.state.step), vals["total_loss"],
+                              vals["clip_loss"])
+            for k, v in parts.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        return {k: v / max(count, 1) for k, v in sums.items()}
+
+    def validate(self, epoch: int) -> float:
+        total, n = 0.0, 0
+        for batch in self.val_loader:
+            valid = int(batch["valid"])
+            b = {k: batch[k] for k in ("image", "text_ids", "text_mask")}
+            parts = self._eval_step(self.state, b)
+            total += float(parts["total_loss"]) * valid
+            n += valid
+        val = total / max(n, 1)
+        self.metrics.scalar("final_val/total_loss", val, int(self.state.step))
+        return val
+
+    def generate_samples(self, epoch: int, num: int = 4, steps: int = 50):
+        descs = self.ds.full_descriptions[:num]
+        ids, mask = self.tokenizer.encode_batch(descs, self.cfg.data.text_len)
+        rng = jax.random.fold_in(self.state.rng, 30_000 + epoch)
+        imgs = self._sample_fn(self.state.params, rng, jnp.asarray(ids),
+                               jnp.asarray(mask), num=num, steps=steps)
+        save_image_grid(np.asarray(imgs),
+                        self.stage_dir / "samples" / f"final_epoch_{epoch:04d}.png",
+                        captions=descs)
+
+    def save_checkpoint(self, epoch: int, val_loss: float) -> bool:
+        return self.ckpt.save(
+            self.state, int(self.state.step), val_loss,
+            extra_meta={"epoch": epoch, "training_phase": self.phase,
+                        "config": self.cfg.to_dict()},
+            periodic=(epoch % self.cfg.training.save_every == 0))
+
+    def load_checkpoint(self, path: Optional[str] = None):
+        if path is None:
+            self.state, meta = self.ckpt.restore(self.state, best=True)
+        else:
+            self.state = load_state(path, self.state)
+            meta = load_metadata(path)
+        self.start_epoch = int(meta.get("epoch", -1)) + 1
+        self.best_val = float(meta.get("metric", float("inf")))
+        if meta.get("training_phase") == "joint" and self.phase != "joint":
+            self.switch_to_joint_training()
+
+    def train(self) -> Path:
+        t = self.cfg.training
+        epochs = t.final_epochs
+        phase1 = t.phase1_epochs if t.phase1_epochs is not None else epochs // 2
+        self.log.info("stage 3: %d epochs (phase1 %d), %d batches/epoch",
+                      epochs, phase1, len(self.train_loader))
+        for epoch in range(self.start_epoch, epochs):
+            if epoch == phase1 and self.phase == "text_encoder":
+                self.switch_to_joint_training()
+            t0 = time.time()
+            self.train_loader.set_epoch(epoch)
+            stats = self.train_epoch(epoch)
+            val_loss = self.validate(epoch)
+            if val_loss < self.best_val:
+                self.best_val = val_loss
+            self.save_checkpoint(epoch, val_loss)
+            if (epoch + 1) % t.sample_every == 0:
+                self.generate_samples(epoch)
+            self.log.info("epoch %d (%s) done in %.1fs: train %.4f val %.4f",
+                          epoch, self.phase, time.time() - t0,
+                          stats.get("total_loss", 0.0), val_loss)
+        self.metrics.flush()
+        return self.ckpt.best_path

@@ -1,0 +1,113 @@
+"""Stage-3 trainer + full 3-stage CLI hand-off test (tiny configs)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from psg_tpu.core.config import Config
+
+CSV = Path("/root/reference/data/text_description_concat.csv")
+IMAGES = Path("/root/reference/data/small_images")
+
+needs_data = pytest.mark.skipif(not CSV.exists(), reason="reference dataset not mounted")
+
+
+def _tiny_cfg(tmp) -> Config:
+    cfg = Config()
+    cfg.experiment_dir = str(tmp)
+    cfg.model.bert_model = "tiny-test"
+    cfg.model.text_embedding_dim = 48
+    cfg.model.unet_channels = (16, 24, 32, 32)
+    cfg.model.num_attention_heads = 4
+    cfg.model.time_emb_dim = 32
+    cfg.model.num_timesteps = 50
+    cfg.data.csv_path = str(CSV)
+    cfg.data.image_dir = str(IMAGES)
+    cfg.data.image_size = 64
+    cfg.data.batch_size = 2
+    cfg.data.text_len = 32
+    cfg.data.num_workers = 2
+    cfg.training.vae_epochs = 1
+    cfg.training.diffusion_epochs = 1
+    cfg.training.final_epochs = 2
+    cfg.training.phase1_epochs = 1
+    cfg.training.log_every = 2
+    cfg.training.sample_every = 100  # skip sampling in the loop (slow on CPU)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    if not CSV.exists():
+        pytest.skip("reference dataset not mounted")
+    from psg_tpu.train.stage3_final import FinalTrainer
+
+    tmp = tmp_path_factory.mktemp("exp3")
+    cfg = _tiny_cfg(tmp)
+    t = FinalTrainer(cfg, vae_checkpoint_path=None,
+                     diffusion_checkpoint_path=None, experiment_name="t")
+    t.train_loader.indices = t.train_loader.indices[:6]
+    t.val_loader.indices = t.val_loader.indices[:2]
+    return t
+
+
+@needs_data
+def test_phase_switch_and_training(trainer):
+    assert trainer.phase == "text_encoder"
+    vae_dec_before = np.asarray(
+        trainer.state.params["vae"]["decoder"]["final_conv"]["w"])
+    text_before = np.asarray(trainer.state.params["text"]["ln"]["scale"])
+
+    best = trainer.train()
+    assert best.exists()
+    assert trainer.phase == "joint"  # switched at epoch 1 of 2
+
+    # phase 1 froze the decoder but trained text; phase 2 trains both —
+    # decoder must have moved only after the switch, text overall
+    text_after = np.asarray(trainer.state.params["text"]["ln"]["scale"])
+    assert np.abs(text_after - text_before).max() > 0
+
+    vae_dec_after = np.asarray(
+        trainer.state.params["vae"]["decoder"]["final_conv"]["w"])
+    assert np.abs(vae_dec_after - vae_dec_before).max() > 0  # joint phase ran
+
+
+@needs_data
+def test_frozen_encoder_never_moves(trainer):
+    import jax
+
+    cfg = trainer.cfg
+    from psg_tpu.models.vae import vae_init
+
+    k_vae = jax.random.split(jax.random.PRNGKey(cfg.seed), 4)[0]
+    init_vae = vae_init(k_vae, cfg.model.latent_dim, cfg.model.text_embedding_dim)
+    np.testing.assert_array_equal(
+        np.asarray(init_vae["encoder"]["mu"]["w"]),
+        np.asarray(trainer.state.params["vae"]["encoder"]["mu"]["w"]))
+
+
+@needs_data
+def test_sampling_chain(trainer):
+    trainer.generate_samples(epoch=99, num=2, steps=5)
+    assert (trainer.stage_dir / "samples" / "final_epoch_0099.png").exists()
+
+
+@needs_data
+def test_cli_data_stats(capsys):
+    from psg_tpu.train.cli import main
+
+    rc = main(["--data-stats", "--config", "/nonexistent.yaml",
+               "--override", f"data.csv_path={CSV}",
+               "--override", f"data.image_dir={IMAGES}",
+               "--override", "data.image_size=64"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "total_samples: 898" in out
+
+
+def test_cli_use_diffusers_reports_unsupported():
+    from psg_tpu.train.cli import main
+
+    rc = main(["--use-diffusers", "--config", "/nonexistent.yaml"])
+    assert rc == 2
