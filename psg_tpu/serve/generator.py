@@ -1,0 +1,227 @@
+"""Serving-path generator: text -> sprite and image+text -> sprite.
+
+Covers ``PokemonGradioGenerator`` (gradio_app.py:161-465):
+
+- text->sprite: prior noise -> DDPM chain -> VAE decode
+  (gradio_app.py:363-392), using the serving renoise sampler
+  (gradio_app.py:297-361) by default for behavioral parity — other
+  samplers selectable;
+- image+text->sprite: encode input, latent lerp
+  ``latent*(1-s) + noise*s`` (gradio_app.py:423-426), then the same chain;
+- seeded reproducibility via explicit PRNG keys (the reference calls
+  torch.manual_seed, gradio_app.py:376-379);
+- the serving schedule is LINEAR betas (gradio_app.py:282-284) regardless
+  of the training schedule — kept, behind ``schedule_kind``.
+
+TPU-native: the whole chain (text encode -> scan sampler -> decode) is one
+jitted function; ``generate_batch`` shards the batch over the mesh 'data'
+axis for the >=64-sprite serving target (BASELINE.json config 5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from psg_tpu.core.checkpoint import load_state
+from psg_tpu.core.config import Config
+from psg_tpu.diffusion import make_schedule
+from psg_tpu.diffusion.sampling import (
+    ddpm_sample,
+    ddpm_sample_fast,
+    ddpm_sample_renoise,
+    ddpm_sample_x0,
+)
+from psg_tpu.models.text_encoder import text_encoder_apply, text_encoder_init
+from psg_tpu.models.unet import text_bias_from_mask, unet_apply, unet_init
+from psg_tpu.models.vae import (
+    latent_size_for,
+    reparameterize,
+    vae_decode,
+    vae_encoder_apply,
+    vae_init,
+)
+from psg_tpu.parallel import batch_sharding, make_mesh, replicated
+from psg_tpu.train.stage1_vae import bert_config_for, get_tokenizer
+from psg_tpu.train.stage2_diffusion import unet_spec_from_config
+from psg_tpu.train.state import TrainState
+from psg_tpu.utils.images import pil_to_array, tensor_to_pil
+
+_SAMPLERS = {
+    "renoise": ddpm_sample_renoise,   # serving default (gradio variant)
+    "ddpm": ddpm_sample,              # canonical posterior-variance
+    "fast": ddpm_sample_fast,
+    "x0": ddpm_sample_x0,
+}
+
+
+class PokemonGenerator:
+    def __init__(self, cfg: Config, vae_checkpoint=None, diffusion_checkpoint=None,
+                 tokenizer=None, mesh=None, schedule_kind: str = "linear",
+                 sampler: str = "renoise"):
+        self.cfg = cfg
+        self.compute_dtype = (
+            jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None
+        )
+        self.latent_size = latent_size_for(cfg.data.image_size)
+        self.spec = unet_spec_from_config(cfg, self.latent_size)
+        m = cfg.model
+        # serving uses a linear beta schedule (gradio_app.py:282-284)
+        self.schedule = make_schedule(m.num_timesteps, m.beta_start, m.beta_end,
+                                      schedule_kind)
+        self.sampler_name = sampler
+        self.mesh = mesh
+
+        if tokenizer is None:
+            stage_dir = Path(cfg.experiment_dir)
+            try:
+                tokenizer = get_tokenizer(cfg, stage_dir)
+            except FileNotFoundError:
+                from psg_tpu.data.dataset import read_description_csv, full_description
+                from psg_tpu.text import WordPieceTokenizer
+
+                rows = read_description_csv(cfg.data.csv_path)
+                corpus = [full_description(r["english_name"], r["description"])
+                          for r in rows]
+                tokenizer = WordPieceTokenizer.from_corpus(corpus)
+        self.tokenizer = tokenizer
+        self.bert_cfg = bert_config_for(cfg, tokenizer.vocab_size)
+
+        self.params = self._load(vae_checkpoint, diffusion_checkpoint)
+        if mesh is not None:
+            self.params = jax.device_put(self.params, replicated(mesh))
+
+        self._generate = jax.jit(
+            self._generate_impl, static_argnames=("steps", "num", "sampler"))
+        self._encode_image = jax.jit(self._encode_impl)
+
+    # -- weights -----------------------------------------------------------
+
+    def _load(self, vae_ckpt, diff_ckpt):
+        from psg_tpu.core.initutil import jit_init
+
+        key = jax.random.PRNGKey(self.cfg.seed)
+        k_vae, k_text, k_unet, _ = jax.random.split(key, 4)
+        vae_tmpl = {
+            "vae": jit_init(vae_init, k_vae, self.cfg.model.latent_dim,
+                            self.cfg.model.text_embedding_dim),
+            "text": jit_init(text_encoder_init, k_text, self.bert_cfg,
+                             self.cfg.model.text_embedding_dim),
+        }
+        unet_tmpl = jit_init(unet_init, k_unet, self.spec)
+        if vae_ckpt and Path(vae_ckpt).exists():
+            st = load_state(vae_ckpt, TrainState.create(vae_tmpl, (), key))
+            vae_tmpl = st.params
+        if diff_ckpt and Path(diff_ckpt).exists():
+            st = load_state(diff_ckpt, TrainState.create(unet_tmpl, (), key))
+            unet_tmpl = st.params
+        return {"vae": vae_tmpl["vae"], "text": vae_tmpl["text"],
+                "unet": unet_tmpl}
+
+    # -- jitted chain --------------------------------------------------------
+
+    def _encode_impl(self, params, rng, image):
+        mu, logvar = vae_encoder_apply(params["vae"]["encoder"], image,
+                                       dtype=self.compute_dtype)
+        return reparameterize(rng, mu, logvar)
+
+    def _generate_impl(self, params, rng, text_ids, text_mask,
+                       initial_latent=None, *, steps: int, num: int,
+                       sampler: str):
+        text_emb = text_encoder_apply(params["text"], text_ids, text_mask,
+                                      self.bert_cfg, dtype=self.compute_dtype)
+
+        def denoise(x, t):
+            return unet_apply(params["unet"], x.astype(text_emb.dtype), t,
+                              text_emb, self.spec, text_mask=text_mask,
+                              dtype=self.compute_dtype)
+
+        shape = (num, self.latent_size, self.latent_size,
+                 self.cfg.model.latent_dim)
+        fn = _SAMPLERS[sampler]
+        if sampler == "renoise":
+            latents = fn(denoise, self.schedule, rng, shape=shape,
+                         initial_latent=initial_latent,
+                         num_inference_steps=steps)
+        elif sampler == "x0":
+            latents = fn(denoise, self.schedule, rng, shape=shape,
+                         initial_latent=initial_latent,
+                         num_inference_steps=steps)
+        elif sampler == "fast":
+            stride = max(1, self.schedule.num_timesteps // steps)
+            latents = fn(denoise, self.schedule, rng, shape=shape,
+                         initial_latent=initial_latent, stride=stride)
+        else:
+            latents = fn(denoise, self.schedule, rng, shape=shape,
+                         initial_latent=initial_latent)
+        return vae_decode(params["vae"], latents.astype(text_emb.dtype),
+                          text_emb, text_bias=text_bias_from_mask(text_mask),
+                          image_size=self.cfg.data.image_size,
+                          dtype=self.compute_dtype)
+
+    # -- public API ------------------------------------------------------------
+
+    def _key(self, seed: Optional[int]) -> jax.Array:
+        if seed is None:
+            seed = int(np.random.randint(0, 2**31 - 1))
+        return jax.random.PRNGKey(seed)
+
+    def generate_from_text(self, description: str,
+                           num_inference_steps: int = 50,
+                           seed: Optional[int] = None) -> Image.Image:
+        """gradio_app.py:363-392."""
+        ids, mask = self.tokenizer.encode_batch([description],
+                                                self.cfg.data.text_len)
+        imgs = self._generate(self.params, self._key(seed), jnp.asarray(ids),
+                              jnp.asarray(mask), None,
+                              steps=num_inference_steps, num=1,
+                              sampler=self.sampler_name)
+        return tensor_to_pil(np.asarray(imgs[0]))
+
+    def generate_from_image_and_text(self, input_image: Image.Image,
+                                     description: str,
+                                     num_inference_steps: int = 50,
+                                     noise_strength: float = 0.7,
+                                     seed: Optional[int] = None) -> Image.Image:
+        """img2img via latent lerp (gradio_app.py:394-438)."""
+        key = self._key(seed)
+        k_enc, k_noise, k_sample = jax.random.split(key, 3)
+        arr = pil_to_array(input_image, self.cfg.data.image_size)[None]
+        latent = self._encode_image(self.params, k_enc, jnp.asarray(arr))
+        if noise_strength > 0:
+            noise = jax.random.normal(k_noise, latent.shape, latent.dtype)
+            latent = latent * (1.0 - noise_strength) + noise * noise_strength
+        ids, mask = self.tokenizer.encode_batch([description],
+                                                self.cfg.data.text_len)
+        imgs = self._generate(self.params, k_sample, jnp.asarray(ids),
+                              jnp.asarray(mask), latent,
+                              steps=num_inference_steps, num=1,
+                              sampler=self.sampler_name)
+        return tensor_to_pil(np.asarray(imgs[0]))
+
+    def generate_batch(self, descriptions: Sequence[str],
+                       num_inference_steps: int = 50,
+                       seed: Optional[int] = None,
+                       sampler: Optional[str] = None) -> np.ndarray:
+        """Batched sharded serving: N descriptions -> [N,H,W,3] in [-1,1].
+
+        With a mesh, the batch is sharded over 'data' (ICI collectives via
+        XLA) — BASELINE config 5's >=64-sprite case.
+        """
+        n = len(descriptions)
+        ids, mask = self.tokenizer.encode_batch(list(descriptions),
+                                                self.cfg.data.text_len)
+        ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+        if self.mesh is not None:
+            ids = jax.device_put(ids, batch_sharding(self.mesh, 2))
+            mask = jax.device_put(mask, batch_sharding(self.mesh, 2))
+        imgs = self._generate(self.params, self._key(seed), ids, mask, None,
+                              steps=num_inference_steps, num=n,
+                              sampler=sampler or self.sampler_name)
+        return np.asarray(imgs)

@@ -109,12 +109,15 @@ class VAETrainer:
         self.latent_size = latent_size_for(cfg.data.image_size)
 
         # params
+        from psg_tpu.core.initutil import jit_init
+
         key = jax.random.PRNGKey(cfg.seed)
         k_vae, k_text, k_vgg, k_state = jax.random.split(key, 4)
         params = {
-            "vae": vae_init(k_vae, cfg.model.latent_dim, cfg.model.text_embedding_dim),
-            "text": text_encoder_init(k_text, self.bert_cfg,
-                                      cfg.model.text_embedding_dim),
+            "vae": jit_init(vae_init, k_vae, cfg.model.latent_dim,
+                            cfg.model.text_embedding_dim),
+            "text": jit_init(text_encoder_init, k_text, self.bert_cfg,
+                             cfg.model.text_embedding_dim),
         }
         # perceptual-loss VGG: converted torchvision weights if available,
         # else fixed-seed random features (see models/vgg.py docstring)
@@ -161,11 +164,13 @@ class VAETrainer:
         import os
 
         path = os.environ.get("PSG_TPU_VGG16", "weights/vgg16_features.ckpt")
+        from psg_tpu.core.initutil import jit_init
+
         if Path(path).exists():
             from psg_tpu.core.checkpoint import load_state
 
-            return load_state(path, vgg16_init(jax.random.PRNGKey(0)))
-        return vgg16_init(jax.random.PRNGKey(1234))
+            return load_state(path, jit_init(vgg16_init, jax.random.PRNGKey(0)))
+        return jit_init(vgg16_init, jax.random.PRNGKey(1234))
 
     def _forward_loss(self, params, batch, rng, kl_weight, mode):
         text_emb = text_encoder_apply(

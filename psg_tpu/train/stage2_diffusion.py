@@ -123,9 +123,11 @@ class DiffusionTrainer:
                                       m.beta_schedule)
 
         # UNet + optimizer with the unet_optimization override cascade
+        from psg_tpu.core.initutil import jit_init
+
         key = jax.random.PRNGKey(cfg.seed + 1)
         k_unet, k_state = jax.random.split(key)
-        unet_params = unet_init(k_unet, self.spec)
+        unet_params = jit_init(unet_init, k_unet, self.spec)
 
         uo = cfg.extra.get("unet_optimization", {}) if cfg.extra else {}
         o = cfg.optimization
@@ -164,13 +166,15 @@ class DiffusionTrainer:
     def _load_frozen(self, vae_checkpoint_path) -> Dict:
         """Load {'vae','text'} params from a stage-1 checkpoint; random init
         fallback when absent (parallels diffusers_trainer.py:258-269)."""
+        from psg_tpu.core.initutil import jit_init
+
         key = jax.random.PRNGKey(self.cfg.seed)
         k_vae, k_text, _, _ = jax.random.split(key, 4)
         template = {
-            "vae": vae_init(k_vae, self.cfg.model.latent_dim,
+            "vae": jit_init(vae_init, k_vae, self.cfg.model.latent_dim,
                             self.cfg.model.text_embedding_dim),
-            "text": text_encoder_init(k_text, self.bert_cfg,
-                                      self.cfg.model.text_embedding_dim),
+            "text": jit_init(text_encoder_init, k_text, self.bert_cfg,
+                             self.cfg.model.text_embedding_dim),
         }
         if vae_checkpoint_path and Path(vae_checkpoint_path).exists():
             tmpl_state = TrainState.create(template, (), jax.random.PRNGKey(0))

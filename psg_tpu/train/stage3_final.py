@@ -156,15 +156,17 @@ class FinalTrainer:
     # -- setup -----------------------------------------------------------------
 
     def _load_params(self, vae_path, diff_path) -> Dict:
+        from psg_tpu.core.initutil import jit_init
+
         key = jax.random.PRNGKey(self.cfg.seed)
         k_vae, k_text, k_unet, _ = jax.random.split(key, 4)
         vae_tmpl = {
-            "vae": vae_init(k_vae, self.cfg.model.latent_dim,
+            "vae": jit_init(vae_init, k_vae, self.cfg.model.latent_dim,
                             self.cfg.model.text_embedding_dim),
-            "text": text_encoder_init(k_text, self.bert_cfg,
-                                      self.cfg.model.text_embedding_dim),
+            "text": jit_init(text_encoder_init, k_text, self.bert_cfg,
+                             self.cfg.model.text_embedding_dim),
         }
-        unet_tmpl = unet_init(k_unet, self.spec)
+        unet_tmpl = jit_init(unet_init, k_unet, self.spec)
 
         if vae_path and Path(vae_path).exists():
             st = load_state(vae_path,
@@ -187,9 +189,12 @@ class FinalTrainer:
         import os
 
         path = os.environ.get("PSG_TPU_CLIP", "weights/clip_vit_b32.ckpt")
+        from psg_tpu.core.initutil import jit_init
+
         if Path(path).exists():
-            return load_state(path, clip_init(jax.random.PRNGKey(0), self.clip_cfg))
-        return clip_init(jax.random.PRNGKey(4321), self.clip_cfg)
+            return load_state(
+                path, jit_init(clip_init, jax.random.PRNGKey(0), self.clip_cfg))
+        return jit_init(clip_init, jax.random.PRNGKey(4321), self.clip_cfg)
 
     # -- jitted fns --------------------------------------------------------------
 

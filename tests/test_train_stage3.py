@@ -78,10 +78,12 @@ def test_frozen_encoder_never_moves(trainer):
     import jax
 
     cfg = trainer.cfg
+    from psg_tpu.core.initutil import jit_init
     from psg_tpu.models.vae import vae_init
 
     k_vae = jax.random.split(jax.random.PRNGKey(cfg.seed), 4)[0]
-    init_vae = vae_init(k_vae, cfg.model.latent_dim, cfg.model.text_embedding_dim)
+    init_vae = jit_init(vae_init, k_vae, cfg.model.latent_dim,
+                        cfg.model.text_embedding_dim)
     np.testing.assert_array_equal(
         np.asarray(init_vae["encoder"]["mu"]["w"]),
         np.asarray(trainer.state.params["vae"]["encoder"]["mu"]["w"]))
