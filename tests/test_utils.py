@@ -1,0 +1,118 @@
+"""Utility subsystem tests: profiling, memory planning, attention viz,
+images, checkpoint manager, metrics."""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psg_tpu.core.checkpoint import CheckpointManager, load_state, save_state
+from psg_tpu.core.metrics import MetricsWriter, Throughput
+from psg_tpu.core.stability import finite_gate, global_norm, tree_finite
+from psg_tpu.utils.attention_viz import attention_probs, plot_attention_maps
+from psg_tpu.utils.images import save_image_grid, tensor_to_pil, to_uint8
+from psg_tpu.utils.memory import find_max_batch_size, step_memory_analysis
+from psg_tpu.utils.profiling import StepTimer, debug_nans
+
+
+def test_step_timer():
+    t = StepTimer()
+    x = jnp.ones((64, 64))
+    f = jax.jit(lambda a: a @ a)
+    for _ in range(3):
+        with t.measure(result_to_sync=f(x)):
+            pass
+    s = t.summary()
+    assert s["n"] == 3 and s["steps_per_s"] > 0
+
+
+def test_debug_nans_context():
+    import pytest
+
+    with debug_nans(True):
+        with pytest.raises(Exception):
+            jax.jit(lambda x: x / 0.0)(jnp.zeros(()))
+    # restored afterwards
+    _ = jax.jit(lambda x: x / 0.0)(jnp.zeros(()))
+
+
+def test_step_memory_analysis_and_batch_search():
+    def step(x):
+        return jnp.sum(x * 2.0)
+
+    m = step_memory_analysis(step, jax.ShapeDtypeStruct((8, 128), jnp.float32))
+    assert isinstance(m, dict)
+
+    def make_args(b):
+        return (jax.ShapeDtypeStruct((b, 1024), jnp.float32),)
+
+    best = find_max_batch_size(make_args, step, start=1, limit=64,
+                               hbm_bytes=10 * 2**20)
+    assert 1 <= best <= 64
+
+
+def test_attention_viz(tmp_path):
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (1, 2, 16, 8))
+    k = jax.random.normal(key, (1, 2, 5, 8))
+    p = attention_probs(q, k)
+    assert p.shape == (1, 2, 16, 5)
+    np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-5)
+    out = tmp_path / "attn.png"
+    plot_attention_maps(p, spatial=4, out_path=out, tokens=list("abcde"))
+    assert out.exists()
+
+
+def test_image_helpers(tmp_path):
+    img = np.linspace(-1, 1, 4 * 4 * 3, dtype=np.float32).reshape(4, 4, 3)
+    u8 = to_uint8(img)
+    assert u8.dtype == np.uint8 and u8.min() >= 0
+    pil = tensor_to_pil(img)
+    assert pil.size == (4, 4)
+    grid = tmp_path / "grid.png"
+    save_image_grid(np.stack([img] * 5), grid, captions=["a"] * 5)
+    assert grid.exists() and grid.with_suffix(".txt").exists()
+
+
+def test_checkpoint_manager_rotation_and_best(tmp_path):
+    mgr = CheckpointManager(tmp_path, "vae", keep=2)
+    state = {"w": jnp.arange(4.0)}
+    assert mgr.save(state, 1, metric=5.0)          # best
+    assert not mgr.save(state, 2, metric=7.0)      # worse
+    assert mgr.save(state, 3, metric=3.0)          # new best
+    mgr.save(state, 4, metric=9.0)
+    # rotation keeps last 2 periodic checkpoints
+    periodic = sorted(tmp_path.glob("vae_step_*.ckpt"))
+    assert len(periodic) == 2
+    restored, meta = mgr.restore({"w": jnp.zeros(4)})
+    assert meta["metric"] == 3.0
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.arange(4.0))
+
+
+def test_metrics_writer(tmp_path):
+    w = MetricsWriter(tmp_path, use_tensorboard=False)
+    w.scalar("loss", 1.5, 10)
+    w.scalars({"a": 1, "b": 2}, 11, prefix="t/")
+    w.close()
+    lines = [json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert lines[0] == {**lines[0], "tag": "loss", "value": 1.5, "step": 10}
+    assert {l["tag"] for l in lines} == {"loss", "t/a", "t/b"}
+
+
+def test_stability_helpers():
+    good = {"a": jnp.ones(3)}
+    bad = {"a": jnp.array([1.0, jnp.nan, 2.0])}
+    assert bool(tree_finite(good))
+    assert not bool(tree_finite(bad))
+    gate, ok = finite_gate(jnp.float32(1.0), bad)
+    assert float(gate) == 0.0 and not bool(ok)
+    assert abs(float(global_norm(good)) - np.sqrt(3)) < 1e-6
+
+
+def test_throughput():
+    t = Throughput()
+    t.step(5)
+    time.sleep(0.01)
+    assert t.batches_per_hour() > 0
