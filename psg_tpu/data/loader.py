@@ -60,10 +60,23 @@ class Loader:
                     rng: Optional[np.random.Generator]) -> Dict[str, np.ndarray]:
         imgs = self.ds.images[idxs]
         if self.augment and rng is not None:
+            from psg_tpu.data import native
+
+            if native.available():
+                # native C++ engine: GIL-free, threaded, deterministic in
+                # the derived seed (native/augment.cc)
+                seed = int(rng.integers(0, 2**62))
+                images = native.augment_batch(
+                    imgs, seed, self.ds.background, augment=True,
+                    num_threads=self.num_workers)
+                return self._finish_batch(images, idxs, valid)
             imgs = np.stack([
                 augment_sprite(im, rng, self.ds.background) for im in imgs
             ])
         images = imgs.astype(np.float32) / 127.5 - 1.0
+        return self._finish_batch(images, idxs, valid)
+
+    def _finish_batch(self, images, idxs, valid) -> Dict[str, np.ndarray]:
         batch = {
             "image": images,
             "national_number": np.asarray(
