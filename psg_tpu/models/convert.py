@@ -313,3 +313,98 @@ def convert_clip(sd: Mapping, vision_layers: int = 12,
         "proj": jnp.asarray(_np(sd, "text_projection.weight").T),
     }
     return {"vision": vision, "text": text}
+
+
+# ---------------------------------------------------------------------------
+# diffusers UNet2DConditionModel (SD-1.5 naming) -> models/sd_unet.py
+# ---------------------------------------------------------------------------
+
+
+def convert_sd_unet(sd: Mapping, levels: int = 4,
+                    layers_per_block: int = 2) -> Dict:
+    """diffusers UNet2DConditionModel state_dict -> sd_unet_init structure.
+
+    Covers the SD-1.5 topology (3x CrossAttnDown + Down, mid,
+    Up + 3x CrossAttnUp, transformer depth 1).  The patch for
+    ``proj_in``/``proj_out`` assumes use_linear_projection=False (SD-1.5).
+    """
+
+    def attention(lp):
+        return {
+            "to_q": {"w": jnp.asarray(_np(sd, lp + "to_q.weight").T)},
+            "to_k": {"w": jnp.asarray(_np(sd, lp + "to_k.weight").T)},
+            "to_v": {"w": jnp.asarray(_np(sd, lp + "to_v.weight").T)},
+            "to_out": _linear(sd, lp + "to_out.0"),
+        }
+
+    def transformer(tp):
+        bp = tp + "transformer_blocks.0."
+        return {
+            "norm": _norm(sd, tp + "norm"),
+            "proj_in": _conv(sd, tp + "proj_in"),
+            "norm1": _norm(sd, bp + "norm1"),
+            "attn1": attention(bp + "attn1."),
+            "norm2": _norm(sd, bp + "norm2"),
+            "attn2": attention(bp + "attn2."),
+            "norm3": _norm(sd, bp + "norm3"),
+            "ff_proj": _linear(sd, bp + "ff.net.0.proj"),
+            "ff_out": _linear(sd, bp + "ff.net.2"),
+            "proj_out": _conv(sd, tp + "proj_out"),
+        }
+
+    def resnet(rp):
+        out = {
+            "norm1": _norm(sd, rp + "norm1"),
+            "conv1": _conv(sd, rp + "conv1"),
+            "time_emb_proj": _linear(sd, rp + "time_emb_proj"),
+            "norm2": _norm(sd, rp + "norm2"),
+            "conv2": _conv(sd, rp + "conv2"),
+        }
+        if rp + "conv_shortcut.weight" in sd:
+            out["conv_shortcut"] = _conv(sd, rp + "conv_shortcut")
+        return out
+
+    p = {
+        "conv_in": _conv(sd, "conv_in"),
+        "time_embedding": {
+            "linear_1": _linear(sd, "time_embedding.linear_1"),
+            "linear_2": _linear(sd, "time_embedding.linear_2"),
+        },
+        "down_blocks": [],
+        "up_blocks": [],
+        "conv_norm_out": _norm(sd, "conv_norm_out"),
+        "conv_out": _conv(sd, "conv_out"),
+    }
+    for lvl in range(levels):
+        has_attn = lvl < levels - 1
+        dp = f"down_blocks.{lvl}."
+        blk = {
+            "resnets": [resnet(dp + f"resnets.{j}.")
+                        for j in range(layers_per_block)],
+            "attentions": ([transformer(dp + f"attentions.{j}.")
+                            for j in range(layers_per_block)]
+                           if has_attn else None),
+        }
+        if f"{dp}downsamplers.0.conv.weight" in sd:
+            blk["downsampler"] = _conv(sd, dp + "downsamplers.0.conv")
+        p["down_blocks"].append(blk)
+
+    p["mid_block"] = {
+        "resnets": [resnet("mid_block.resnets.0."),
+                    resnet("mid_block.resnets.1.")],
+        "attentions": [transformer("mid_block.attentions.0.")],
+    }
+    for lvl in range(levels):
+        has_attn = lvl > 0
+        up = f"up_blocks.{lvl}."
+        blk = {
+            "resnets": [resnet(up + f"resnets.{j}.")
+                        for j in range(layers_per_block + 1)],
+            "attentions": ([transformer(up + f"attentions.{j}.")
+                            for j in range(layers_per_block + 1)]
+                           if has_attn else None),
+        }
+        if f"{up}upsamplers.0.conv.weight" in sd:
+            blk["upsampler"] = _conv(sd, up + "upsamplers.0.conv")
+        p["up_blocks"].append(blk)
+    return p

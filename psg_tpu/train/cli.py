@@ -28,7 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", type=str, default="config/train_config.yaml")
     p.add_argument("--stage", type=str, default="all", choices=["1", "2", "3", "all"])
     p.add_argument("--use-diffusers", action="store_true",
-                   help="use the pretrained SD-1.5 UNet wrapper (not yet supported)")
+                   help="stage 2 uses the SD-1.5-family UNet wrapper "
+                        "(pretrained weights via PSG_TPU_SD_UNET if available)")
     p.add_argument("--vae-checkpoint", type=str, default=None)
     p.add_argument("--diffusion-checkpoint", type=str, default=None)
     p.add_argument("--experiment-name", type=str, default="pokemon")
@@ -62,11 +63,6 @@ def main(argv=None) -> int:
             print(f"{k}: {v}")
         return 0
 
-    if args.use_diffusers:
-        print("--use-diffusers: the SD-1.5 UNet path is not supported yet; "
-              "the custom UNet (stage 2 default) is the primary path.")
-        return 2
-
     name = args.experiment_name
     run_all = args.stage == "all"
 
@@ -84,10 +80,14 @@ def main(argv=None) -> int:
         print(f"stage 1 complete: {best}")
 
     if run_all or args.stage == "2":
-        from psg_tpu.train.stage2_diffusion import DiffusionTrainer
+        if args.use_diffusers:
+            # SD-1.5-family UNet + trainable text encoder
+            # (reference: train_3stage.py --use-diffusers -> DiffusersTrainer)
+            from psg_tpu.train.stage2_sd import SDDiffusionTrainer as Trainer
+        else:
+            from psg_tpu.train.stage2_diffusion import DiffusionTrainer as Trainer
 
-        t = DiffusionTrainer(cfg, vae_checkpoint_path=vae_ckpt,
-                             experiment_name=name)
+        t = Trainer(cfg, vae_checkpoint_path=vae_ckpt, experiment_name=name)
         if args.resume and args.stage == "2":
             t.load_checkpoint(args.resume)
         best = t.train()
