@@ -89,8 +89,9 @@ class DiffusionTrainer:
     STAGE = "diffusion"
 
     def __init__(self, cfg: Config, vae_checkpoint_path,
-                 experiment_name: str = "pokemon"):
+                 experiment_name: str = "pokemon", mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
         self.stage_dir = Path(cfg.experiment_dir) / f"{experiment_name}_diffusion"
         self.ckpt = CheckpointManager(self.stage_dir / "checkpoints", self.STAGE)
         self.log = setup_logging(self.stage_dir / "logs", self.STAGE)
@@ -135,8 +136,14 @@ class DiffusionTrainer:
         sched_kind = uo.get("scheduler", o.scheduler)
         spe = max(len(self.train_loader), 1)
         total_steps = cfg.training.diffusion_epochs * spe
-        # stage-2 'cosine' == OneCycle with 10% warmup (:302-319)
-        kind = "onecycle" if sched_kind == "cosine" else sched_kind
+        # stage-2 'cosine' == OneCycle with 10% warmup (:302-319);
+        # 'legacy_cosine' == plain cosine anneal (diffusion_trainer.py:242-246)
+        if sched_kind == "cosine":
+            kind = "onecycle"
+        elif sched_kind == "legacy_cosine":
+            kind = "cosine"
+        else:
+            kind = sched_kind
         lr_sched = make_lr_schedule(kind, lr, total_steps=total_steps,
                                     steps_per_epoch=spe,
                                     pct_start=o.onecycle_pct_start)
@@ -153,6 +160,13 @@ class DiffusionTrainer:
             labels,
         )
         self.state = TrainState.create(unet_params, self.tx.init(unet_params), k_state)
+        if mesh is not None:
+            # DP: params + frozen weights replicated, batches sharded over
+            # 'data' (shard_batch below); XLA psums the grads over ICI
+            from psg_tpu.parallel import replicated
+
+            self.state = jax.device_put(self.state, replicated(mesh))
+            self.frozen = jax.device_put(self.frozen, replicated(mesh))
         self.start_epoch = 0
         self.best_val = float("inf")
         self.loss_kind = (cfg.extra or {}).get("diffusion_loss", "smooth_l1")
@@ -263,6 +277,10 @@ class DiffusionTrainer:
         thr = Throughput()
         for batch in self.train_loader:
             b = {k: batch[k] for k in ("image", "text_ids", "text_mask")}
+            if self.mesh is not None:
+                from psg_tpu.parallel import shard_batch
+
+                b = shard_batch(b, self.mesh)
             self.state, parts = self._train_step(self.state, self.frozen, b)
             count += 1
             thr.step()
@@ -282,6 +300,10 @@ class DiffusionTrainer:
         for batch in self.val_loader:
             valid = int(batch["valid"])
             b = {k: batch[k] for k in ("image", "text_ids", "text_mask")}
+            if self.mesh is not None:
+                from psg_tpu.parallel import shard_batch
+
+                b = shard_batch(b, self.mesh)
             parts = self._eval_step(self.state, self.frozen, b)
             total += float(parts["loss"]) * valid
             n += valid

@@ -1,0 +1,76 @@
+"""Mesh-aware (data-parallel) stage-2 training + legacy preset tests."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from psg_tpu.core.config import Config
+from psg_tpu.parallel import make_mesh
+
+CSV = Path("/root/reference/data/text_description_concat.csv")
+
+needs_data = pytest.mark.skipif(not CSV.exists(), reason="reference dataset not mounted")
+
+
+def _tiny_cfg(tmp) -> Config:
+    cfg = Config()
+    cfg.experiment_dir = str(tmp)
+    cfg.model.bert_model = "tiny-test"
+    cfg.model.text_embedding_dim = 48
+    cfg.model.unet_channels = (16, 24, 32, 32)
+    cfg.model.num_attention_heads = 4
+    cfg.model.time_emb_dim = 32
+    cfg.model.num_timesteps = 50
+    cfg.data.csv_path = str(CSV)
+    cfg.data.image_dir = "/root/reference/data/small_images"
+    cfg.data.image_size = 64
+    cfg.data.batch_size = 8  # shards over 8 devices
+    cfg.data.text_len = 32
+    cfg.data.num_workers = 2
+    cfg.training.diffusion_epochs = 1
+    cfg.training.log_every = 100
+    cfg.training.sample_every = 100
+    return cfg
+
+
+@needs_data
+def test_dp_training_runs_on_mesh(tmp_path):
+    from psg_tpu.train.stage2_diffusion import DiffusionTrainer
+
+    mesh = make_mesh()  # 8-way data parallel
+    cfg = _tiny_cfg(tmp_path)
+    t = DiffusionTrainer(cfg, vae_checkpoint_path=None, experiment_name="dp",
+                         mesh=mesh)
+    t.train_loader.indices = t.train_loader.indices[:16]
+    t.val_loader.indices = t.val_loader.indices[:8]
+
+    batch = next(iter(t.train_loader))
+    from psg_tpu.parallel import shard_batch
+
+    b = shard_batch({k: batch[k] for k in ("image", "text_ids", "text_mask")},
+                    mesh)
+    assert b["image"].sharding.spec[0] == "data"
+    state2, parts = t._train_step(t.state, t.frozen, b)
+    assert np.isfinite(float(parts["loss"]))
+    # updated params stay replicated
+    assert state2.params["init_conv"]["w"].sharding.is_fully_replicated
+    t.state = state2
+
+    val = t.validate(0)
+    assert np.isfinite(val)
+
+
+@needs_data
+def test_legacy_preset(tmp_path):
+    from psg_tpu.train.legacy import LegacyDiffusionTrainer
+
+    cfg = _tiny_cfg(tmp_path)
+    t = LegacyDiffusionTrainer(cfg, vae_checkpoint_path=None,
+                               experiment_name="legacy")
+    # linear schedule + mse loss pinned (diffusion_trainer.py:29,257)
+    assert t.cfg.model.beta_schedule == "linear"
+    assert t.loss_kind == "mse"
+    betas = np.asarray(t.schedule.betas)
+    np.testing.assert_allclose(
+        betas, np.linspace(1e-4, 0.02, 50, dtype=np.float32), rtol=1e-6)
