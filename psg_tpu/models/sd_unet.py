@@ -85,12 +85,14 @@ def _resnet_init(key, cin, cout, temb_dim, dtype=jnp.float32):
 
 
 def _resnet_apply(p, x, temb, groups, dtype=None):
+    from psg_tpu import ops
+
     residual = x
-    h = jax.nn.silu(group_norm(p["norm1"], x, groups, eps=1e-5))
+    h = ops.group_norm_silu(p["norm1"], x, groups, eps=1e-5)
     h = conv2d(p["conv1"], h, stride=1, padding=1, dtype=dtype)
     t = linear(p["time_emb_proj"], jax.nn.silu(temb), dtype=dtype)
     h = h + t[:, None, None, :]
-    h = jax.nn.silu(group_norm(p["norm2"], h, groups, eps=1e-5))
+    h = ops.group_norm_silu(p["norm2"], h, groups, eps=1e-5)
     h = conv2d(p["conv2"], h, stride=1, padding=1, dtype=dtype)
     if "conv_shortcut" in p:
         residual = conv2d(p["conv_shortcut"], residual, stride=1, padding=0, dtype=dtype)
@@ -291,7 +293,9 @@ def sd_unet_apply(params, sample, timesteps, text_states,
             x = jax.image.resize(x, (b_, target, target, c_), method="nearest")
             x = conv2d(blk["upsampler"], x, stride=1, padding=1, dtype=dtype)
 
-    x = jax.nn.silu(group_norm(params["conv_norm_out"], x, g, eps=1e-5))
+    from psg_tpu import ops
+
+    x = ops.group_norm_silu(params["conv_norm_out"], x, g, eps=1e-5)
     return conv2d(params["conv_out"], x, stride=1, padding=1, dtype=dtype)
 
 

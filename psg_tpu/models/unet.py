@@ -84,14 +84,16 @@ def resblock_init(key, cin: int, cout: int, time_dim: int, text_dim: int,
 
 def resblock_apply(params, x, time_emb, text_pooled, *, cin: int, cout: int,
                    dtype=None):
+    from psg_tpu import ops
+
     gi = largest_group_count(cin)
     go = largest_group_count(cout)
     residual = x
-    h = jax.nn.silu(group_norm(params["norm1"], x, gi, eps=1e-5))
+    h = ops.group_norm_silu(params["norm1"], x, gi, eps=1e-5)
     h = conv2d(params["conv1"], h, stride=1, padding=1, dtype=dtype)
     h = h + linear(params["time_proj"], time_emb, dtype=dtype)[:, None, None, :]
     h = h + linear(params["text_proj"], text_pooled, dtype=dtype)[:, None, None, :]
-    h = jax.nn.silu(group_norm(params["norm2"], h, go, eps=1e-5))
+    h = ops.group_norm_silu(params["norm2"], h, go, eps=1e-5)
     h = conv2d(params["conv2"], h, stride=1, padding=1, dtype=dtype)
     if "skip" in params:
         residual = conv2d(params["skip"], residual, stride=1, padding=0, dtype=dtype)
@@ -312,8 +314,33 @@ def unet_apply(params, noisy_latent, timesteps, text_seq, spec: UNetSpec, *,
             x = bilinear_resize(x, (target, target))
             x = conv2d(params[f"up{lvl}"], x, stride=1, padding=1, dtype=dtype)
 
+    from psg_tpu import ops
+
     # GroupNorm(32, 320) in the reference (unet.py:397); the divisor rule
     # generalizes it to narrow test configs
-    x = jax.nn.silu(group_norm(params["final_norm"], x,
-                               largest_group_count(ch[0]), eps=1e-5))
+    x = ops.group_norm_silu(params["final_norm"], x,
+                            largest_group_count(ch[0]), eps=1e-5)
     return conv2d(params["final_conv"], x, stride=1, padding=1, dtype=dtype)
+
+
+def _smoke_test():  # pragma: no cover
+    """`python -m psg_tpu.models.unet` — the analog of the reference's
+    in-module test_unet (unet.py:512-542), at a reduced width."""
+    import jax
+
+    spec = UNetSpec(text_dim=256, channels=(32, 64, 96, 96), num_heads=4)
+    params = unet_init(jax.random.PRNGKey(0), spec)
+    n = sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 27, 27, 8))
+    t = jnp.array([0, 999])
+    txt = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 256))
+    out = jax.jit(lambda p, x, t, s: unet_apply(p, x, t, s, spec))(
+        params, x, t, txt)
+    print(f"params (reduced width): {n:,}")
+    print("output:", out.shape)
+    assert out.shape == x.shape
+    print("UNet smoke test passed")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    _smoke_test()

@@ -54,10 +54,12 @@ def resnet_block_init(key, cin: int, cout: int, dtype=jnp.float32):
 
 
 def resnet_block(params, x, *, dtype=None):
+    from psg_tpu import ops
+
     residual = x
-    h = jax.nn.silu(group_norm(params["norm1"], x, 32, eps=1e-5))
+    h = ops.group_norm_silu(params["norm1"], x, 32, eps=1e-5)
     h = conv2d(params["conv1"], h, stride=1, padding=1, dtype=dtype)
-    h = jax.nn.silu(group_norm(params["norm2"], h, 32, eps=1e-5))
+    h = ops.group_norm_silu(params["norm2"], h, 32, eps=1e-5)
     h = conv2d(params["conv2"], h, stride=1, padding=1, dtype=dtype)
     if "shortcut" in params:
         residual = conv2d(params["shortcut"], residual, stride=1, padding=0, dtype=dtype)
@@ -165,7 +167,9 @@ def vae_decoder_apply(params, latent, text_emb, *, text_bias=None,
             x = bilinear_resize(x, (h * 2, h * 2))
         elif up == "full":
             x = bilinear_resize(x, (image_size, image_size))
-    x = jax.nn.silu(group_norm(params["final_norm"], x, 8, eps=1e-5))
+    from psg_tpu import ops
+
+    x = ops.group_norm_silu(params["final_norm"], x, 8, eps=1e-5)
     x = conv2d(params["final_conv"], x, stride=1, padding=1, dtype=dtype)
     return jnp.tanh(x)
 
@@ -237,3 +241,27 @@ def vae_sample(params, key, text_emb, *, latent_dim: int = 8,
     latent = jax.random.normal(key, (b, latent_size, latent_size, latent_dim))
     return vae_decode(params, latent, text_emb, text_bias=text_bias,
                       image_size=image_size, dtype=dtype)
+
+
+def _smoke_test():  # pragma: no cover
+    """`python -m psg_tpu.models.vae` — the analog of the reference's
+    in-module test_vae (vae_decoder.py:288-313)."""
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    params = vae_init(key, latent_dim=8, text_dim=256)
+    n = sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
+    images = jax.random.normal(key, (2, 215, 215, 3))
+    text = jax.random.normal(key, (2, 32, 256))
+    out = jax.jit(lambda p, k, i, t: vae_apply(p, k, i, t, "train"))(
+        params, key, images, text)
+    print(f"params: {n:,}")
+    print("reconstructed:", out["reconstructed"].shape)
+    print("latent:", out["latent"].shape)
+    assert out["reconstructed"].shape == images.shape
+    assert out["latent"].shape == (2, 27, 27, 8)
+    print("VAE smoke test passed")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    _smoke_test()

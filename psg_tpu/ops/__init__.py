@@ -34,6 +34,37 @@ def _use_pallas() -> bool:
     return False
 
 
+_FORCE_GN = os.environ.get("PSG_TPU_FUSED_GN", "").lower()  # '', 'on', 'off'
+
+# Empirical v5e dispatch threshold: the fused kernel wins when the
+# per-sample fp32 block is small enough to pipeline well
+# (measured: 0.93MB blocks 1.03ms vs 1.24ms XLA; 0.98MB 0.82 vs 2.07;
+# but 1.87MB blocks lose 2.14 vs 1.89) — see /tmp-benchmarks in r1 notes.
+_FUSED_GN_MAX_BYTES = int(1.25 * 1024 * 1024)
+
+
+def group_norm_silu(params, x, num_groups: int, *, eps: float = 1e-5):
+    """silu(group_norm(x)) with the fused Pallas kernel where it wins."""
+    use = _FORCE_GN != "off" and jax.default_backend() == "tpu"
+    if use and _FORCE_GN != "on":
+        import numpy as _np
+
+        per_sample = int(_np.prod(x.shape[1:])) * 4
+        use = per_sample <= _FUSED_GN_MAX_BYTES
+    if use:
+        try:
+            from psg_tpu.ops.fused_norm import fused_group_norm_silu
+
+            return fused_group_norm_silu(params, x, num_groups, eps=eps)
+        except Exception:  # pragma: no cover - fallback safety
+            pass
+    import jax.nn as _nn
+
+    from psg_tpu.nn.layers import group_norm as _gn
+
+    return _nn.silu(_gn(params, x, num_groups, eps=eps))
+
+
 def sdpa(q, k, v, *, bias=None, scale=None):
     """Scaled dot-product attention.
 

@@ -72,3 +72,57 @@ def test_dispatch_uses_xla_on_cpu():
     out = ops.sdpa(q, q, q)
     ref = sdpa_xla(q, q, q)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("b,s,c,g", [(2, 64, 32, 8), (1, 729, 320, 32),
+                                     (2, 49, 48, 16)])
+def test_fused_group_norm_silu_matches_reference(b, s, c, g):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from psg_tpu.nn.layers import group_norm
+    from psg_tpu.ops.fused_norm import fused_group_norm_silu
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, s, c)) * 2 + 0.3
+    p = {"scale": jnp.linspace(0.5, 1.5, c), "bias": jnp.linspace(-0.2, 0.2, c)}
+    ref = jax.nn.silu(group_norm(p, x, g))
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_group_norm_silu(p, x, g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_fused_group_norm_4d_input():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from psg_tpu.nn.layers import group_norm
+    from psg_tpu.ops.fused_norm import fused_group_norm_silu
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 9, 9, 16))
+    p = {"scale": jnp.ones(16), "bias": jnp.zeros(16)}
+    ref = jax.nn.silu(group_norm(p, x, 8))
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_group_norm_silu(p, x, 8)
+    assert out.shape == x.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_fused_group_norm_vmem_gate():
+    from psg_tpu.ops.fused_norm import fits_vmem, fused_group_norm_silu
+
+    assert fits_vmem((4, 729, 320))
+    assert not fits_vmem((1, 46225, 64))
+    with pytest.raises(ValueError):
+        fused_group_norm_silu({"scale": jnp.ones(64), "bias": jnp.zeros(64)},
+                              jnp.zeros((1, 46225, 64)), 32)
+
+
+def test_group_norm_silu_dispatch_cpu_fallback():
+    from psg_tpu import ops
+    from psg_tpu.nn.layers import group_norm
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 32))
+    p = {"scale": jnp.ones(32), "bias": jnp.zeros(32)}
+    out = ops.group_norm_silu(p, x, 8)
+    ref = jax.nn.silu(group_norm(p, x, 8))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
