@@ -108,8 +108,9 @@ def test_cli_data_stats(capsys):
     assert "total_samples: 898" in out
 
 
-def test_cli_use_diffusers_reports_unsupported():
-    from psg_tpu.train.cli import main
+def test_cli_parser_accepts_use_diffusers():
+    # routing behavior is covered by tests/test_train_stage2_sd.py
+    from psg_tpu.train.cli import build_parser
 
-    rc = main(["--use-diffusers", "--config", "/nonexistent.yaml"])
-    assert rc == 2
+    args = build_parser().parse_args(["--use-diffusers"])
+    assert args.use_diffusers
