@@ -18,6 +18,65 @@ import time
 BASELINE_STEPS_PER_SEC = 200.0  # driver-set target (BASELINE.json)
 
 
+def train_bench(batch: int = 4, steps: int = 20) -> int:
+    """`python bench.py train [batch]` — stage-2 UNet train-step throughput
+    (fwd+bwd+AdamW on the full 655M UNet, synthetic latents/text)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from psg_tpu.diffusion import make_schedule
+    from psg_tpu.models.losses import smooth_l1_loss
+    from psg_tpu.models.unet import UNetSpec, unet_apply, unet_init
+
+    spec = UNetSpec(text_dim=768, num_heads=4)
+    params = jax.jit(lambda k: unet_init(k, spec))(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    schedule = make_schedule(1000, 1e-4, 0.02, "cosine")
+    tx = optax.adamw(1e-4, eps=1e-6)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, latent, text, mask, rng):
+        k_t, k_n = jax.random.split(rng)
+        t = jax.random.randint(k_t, (latent.shape[0],), 0, 1000)
+        noise = jax.random.normal(k_n, latent.shape)
+        noisy = schedule.add_noise(latent, noise, t)
+
+        def loss_fn(p):
+            pred = unet_apply(p, noisy.astype(jnp.float32), t, text, spec,
+                              text_mask=mask, dtype=jnp.bfloat16)
+            return smooth_l1_loss(pred, noise, beta=0.1)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(1)
+    latent = jax.random.normal(key, (batch, 27, 27, 8))
+    text = jax.random.normal(key, (batch, 128, 768), jnp.bfloat16)
+    mask = jnp.ones((batch, 128), jnp.int32)
+
+    params, opt_state, loss = step(params, opt_state, latent, text, mask,
+                                   jax.random.PRNGKey(2))
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        params, opt_state, loss = step(params, opt_state, latent, text, mask,
+                                       jax.random.PRNGKey(3 + i))
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / steps
+    print(json.dumps({
+        "metric": "unet_train_steps_per_sec_per_chip",
+        "value": round(1.0 / dt, 2),
+        "unit": "steps/s",
+        "vs_baseline": None,
+        "detail": {"batch": batch, "samples_per_sec": round(batch / dt, 2),
+                   "loss": float(loss), "backend": jax.default_backend()},
+    }))
+    return 0
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -25,6 +84,9 @@ def main() -> int:
     from psg_tpu.diffusion import make_schedule
     from psg_tpu.models.unet import UNetSpec, unet_apply, unet_init
     from psg_tpu.diffusion.sampling import ddpm_sample
+
+    if len(sys.argv) > 1 and sys.argv[1] == "train":
+        return train_bench(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
 
     # default batch 4 = the reference's shipped training/serving batch
     # (config/train_config.yaml:27)

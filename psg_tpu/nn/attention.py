@@ -78,6 +78,9 @@ def mha(params, q_in, kv_in, num_heads: int, *, bias=None, dtype=None,
     bb = params["in_proj"]["b"]
     if dtype is not None:
         q_in, kv_in, w = q_in.astype(dtype), kv_in.astype(dtype), w.astype(dtype)
+    # NOTE: a fused [C,3C] self-attention matmul was benchmarked in-chain
+    # and was not faster than three slices on v5e (236 vs 241 steps/s) —
+    # XLA already batches these; keeping the simpler form.
     wq, wk, wv = w[:, :c], w[:, c : 2 * c], w[:, 2 * c :]
     bq, bk, bv = bb[:c], bb[c : 2 * c], bb[2 * c :]
 

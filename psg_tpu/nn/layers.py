@@ -85,14 +85,22 @@ def conv2d(params, x, *, stride: int = 1, padding: int = 0, dtype=None):
     w = params["w"]
     b = params["b"]
     if dtype is not None:
+        # mixed precision: inputs/kernel/output in `dtype` (the TPU MXU
+        # still accumulates fp32 internally).  Forcing an fp32 output via
+        # preferred_element_type would break autodiff — the conv transpose
+        # rule then sees an fp32 cotangent against a bf16 kernel, and
+        # lax.conv requires matching dtypes.
         x, w = x.astype(dtype), w.astype(dtype)
+        pet = None
+    else:
+        pet = jnp.float32
     y = lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
     )
     return y + b.astype(y.dtype)
 

@@ -80,8 +80,9 @@ class VAETrainer:
     STAGE = "vae"
 
     def __init__(self, cfg: Config, experiment_name: str = "pokemon",
-                 sample_descriptions=None):
+                 sample_descriptions=None, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
         self.stage_dir = Path(cfg.experiment_dir) / f"{experiment_name}_vae"
         self.ckpt = CheckpointManager(self.stage_dir / "checkpoints", self.STAGE)
         self.log = setup_logging(self.stage_dir / "logs", self.STAGE)
@@ -149,6 +150,11 @@ class VAETrainer:
             label_tree,
         )
         self.state = TrainState.create(params, self.tx.init(params), k_state)
+        if mesh is not None:
+            from psg_tpu.parallel import replicated
+
+            self.state = jax.device_put(self.state, replicated(mesh))
+            self.vgg_params = jax.device_put(self.vgg_params, replicated(mesh))
         self.start_epoch = 0
         self.best_val = float("inf")
 
@@ -234,6 +240,10 @@ class VAETrainer:
         for batch in self.train_loader:
             batch = {k: v for k, v in batch.items()
                      if k in ("image", "text_ids", "text_mask")}
+            if self.mesh is not None:
+                from psg_tpu.parallel import shard_batch
+
+                batch = shard_batch(batch, self.mesh)
             self.state, parts = self._train_step(self.state, batch, klw)
             count += 1
             thr.step()
@@ -255,6 +265,10 @@ class VAETrainer:
         for batch in self.val_loader:
             valid = int(batch["valid"])
             b = {k: batch[k] for k in ("image", "text_ids", "text_mask")}
+            if self.mesh is not None:
+                from psg_tpu.parallel import shard_batch
+
+                b = shard_batch(b, self.mesh)
             parts = self._eval_step(self.state, b, klw)
             total += float(parts["total_loss"]) * valid
             n += valid

@@ -60,8 +60,9 @@ class FinalTrainer:
     STAGE = "final"
 
     def __init__(self, cfg: Config, vae_checkpoint_path, diffusion_checkpoint_path,
-                 experiment_name: str = "pokemon"):
+                 experiment_name: str = "pokemon", mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
         self.stage_dir = Path(cfg.experiment_dir) / f"{experiment_name}_final"
         self.ckpt = CheckpointManager(self.stage_dir / "checkpoints", self.STAGE)
         self.log = setup_logging(self.stage_dir / "logs", self.STAGE)
@@ -143,6 +144,11 @@ class FinalTrainer:
         self.tx = self.tx_phase1
         key = jax.random.PRNGKey(cfg.seed + 2)
         self.state = TrainState.create(params, self.tx.init(params), key)
+        if mesh is not None:
+            from psg_tpu.parallel import replicated
+
+            self.state = jax.device_put(self.state, replicated(mesh))
+            self.clip_params = jax.device_put(self.clip_params, replicated(mesh))
         self.start_epoch = 0
         self.best_val = float("inf")
 
@@ -284,6 +290,10 @@ class FinalTrainer:
         count = 0
         for batch in self.train_loader:
             b = {k: batch[k] for k in ("image", "text_ids", "text_mask")}
+            if self.mesh is not None:
+                from psg_tpu.parallel import shard_batch
+
+                b = shard_batch(b, self.mesh)
             self.state, parts = self._train_step(self.state, b)
             count += 1
             if count % self.cfg.training.log_every == 0:
@@ -302,6 +312,10 @@ class FinalTrainer:
         for batch in self.val_loader:
             valid = int(batch["valid"])
             b = {k: batch[k] for k in ("image", "text_ids", "text_mask")}
+            if self.mesh is not None:
+                from psg_tpu.parallel import shard_batch
+
+                b = shard_batch(b, self.mesh)
             parts = self._eval_step(self.state, b)
             total += float(parts["total_loss"]) * valid
             n += valid

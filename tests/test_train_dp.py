@@ -74,3 +74,22 @@ def test_legacy_preset(tmp_path):
     betas = np.asarray(t.schedule.betas)
     np.testing.assert_allclose(
         betas, np.linspace(1e-4, 0.02, 50, dtype=np.float32), rtol=1e-6)
+
+
+@needs_data
+def test_stage1_dp_step_on_mesh(tmp_path):
+    import jax.numpy as jnp
+
+    from psg_tpu.parallel import make_mesh, shard_batch
+    from psg_tpu.train.stage1_vae import VAETrainer
+
+    cfg = _tiny_cfg(tmp_path)
+    mesh = make_mesh()
+    t = VAETrainer(cfg, experiment_name="dp1", mesh=mesh)
+    t.train_loader.indices = t.train_loader.indices[:8]
+    batch = next(iter(t.train_loader))
+    b = shard_batch({k: batch[k] for k in ("image", "text_ids", "text_mask")},
+                    mesh)
+    state2, parts = t._train_step(t.state, b, jnp.float32(0.001))
+    assert np.isfinite(float(parts["total_loss"]))
+    assert state2.params["vae"]["encoder"]["mu"]["w"].sharding.is_fully_replicated
