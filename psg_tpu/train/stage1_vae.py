@@ -256,8 +256,10 @@ class VAETrainer:
                     vals["reconstruction_loss"], vals["kl_loss"],
                     thr.batches_per_hour())
             for k, v in parts.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-        return {k: v / max(count, 1) for k, v in sums.items()}
+                # accumulate device arrays — float() here would force a
+                # host sync every step
+                sums[k] = sums.get(k, 0.0) + v
+        return {k: float(v) / max(count, 1) for k, v in sums.items()}
 
     def validate(self, epoch: int) -> float:
         klw = jnp.float32(self.kl_weight(epoch))
@@ -290,7 +292,7 @@ class VAETrainer:
         return self.ckpt.save(self.state, int(self.state.step), val_loss,
                               extra_meta={"epoch": epoch,
                                           "config": self.cfg.to_dict()},
-                              periodic=(epoch % self.cfg.training.save_every == 0))
+                              periodic=((epoch + 1) % self.cfg.training.save_every == 0))
 
     def load_checkpoint(self, path: Optional[str] = None):
         if path is None:

@@ -292,8 +292,10 @@ class DiffusionTrainer:
                               epoch, int(self.state.step), vals["loss"],
                               vals["grad_norm"], thr.batches_per_hour())
             for k, v in parts.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-        return {k: v / max(count, 1) for k, v in sums.items()}
+                # accumulate device arrays — float() here would force a
+                # host sync every step
+                sums[k] = sums.get(k, 0.0) + v
+        return {k: float(v) / max(count, 1) for k, v in sums.items()}
 
     def validate(self, epoch: int) -> float:
         total, n = 0.0, 0
@@ -332,7 +334,7 @@ class DiffusionTrainer:
         return self.ckpt.save(self.state, int(self.state.step), val_loss,
                               extra_meta={"epoch": epoch,
                                           "config": self.cfg.to_dict()},
-                              periodic=(epoch % self.cfg.training.save_every == 0))
+                              periodic=((epoch + 1) % self.cfg.training.save_every == 0))
 
     def load_checkpoint(self, path: Optional[str] = None):
         if path is None:

@@ -304,8 +304,10 @@ class FinalTrainer:
                               epoch, int(self.state.step), vals["total_loss"],
                               vals["clip_loss"])
             for k, v in parts.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-        return {k: v / max(count, 1) for k, v in sums.items()}
+                # accumulate device arrays — float() here would force a
+                # host sync every step
+                sums[k] = sums.get(k, 0.0) + v
+        return {k: float(v) / max(count, 1) for k, v in sums.items()}
 
     def validate(self, epoch: int) -> float:
         total, n = 0.0, 0
@@ -338,7 +340,7 @@ class FinalTrainer:
             self.state, int(self.state.step), val_loss,
             extra_meta={"epoch": epoch, "training_phase": self.phase,
                         "config": self.cfg.to_dict()},
-            periodic=(epoch % self.cfg.training.save_every == 0))
+            periodic=((epoch + 1) % self.cfg.training.save_every == 0))
 
     def load_checkpoint(self, path: Optional[str] = None):
         if path is None:
