@@ -97,3 +97,17 @@ class CheckpointManager:
         meta = load_metadata(path)
         self.best_metric = meta.get("metric", float("inf"))
         return load_state(path, target), meta
+
+
+def load_params(path, params_template):
+    """Restore only the ``params`` subtree of a checkpointed TrainState.
+
+    Cross-stage loading (stage 2 reading stage 1's checkpoint) must not
+    require the foreign stage's optimizer-state structure: restore the raw
+    msgpack tree without a target, then map the 'params' entry onto the
+    caller's template with from_state_dict (which handles list fields).
+    Accepts bare-params checkpoints too.
+    """
+    raw = serialization.msgpack_restore(Path(path).read_bytes())
+    sub = raw.get("params", raw)
+    return serialization.from_state_dict(params_template, sub)

@@ -115,12 +115,12 @@ class PokemonGenerator:
                              self.cfg.model.text_embedding_dim),
         }
         unet_tmpl = jit_init(unet_init, k_unet, self.spec)
+        from psg_tpu.core.checkpoint import load_params
+
         if vae_ckpt and Path(vae_ckpt).exists():
-            st = load_state(vae_ckpt, TrainState.create(vae_tmpl, (), key))
-            vae_tmpl = st.params
+            vae_tmpl = load_params(vae_ckpt, vae_tmpl)
         if diff_ckpt and Path(diff_ckpt).exists():
-            st = load_state(diff_ckpt, TrainState.create(unet_tmpl, (), key))
-            unet_tmpl = st.params
+            unet_tmpl = load_params(diff_ckpt, unet_tmpl)
         return {"vae": vae_tmpl["vae"], "text": vae_tmpl["text"],
                 "unet": unet_tmpl}
 

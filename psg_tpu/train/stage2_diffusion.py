@@ -191,15 +191,11 @@ class DiffusionTrainer:
                              self.cfg.model.text_embedding_dim),
         }
         if vae_checkpoint_path and Path(vae_checkpoint_path).exists():
-            tmpl_state = TrainState.create(template, (), jax.random.PRNGKey(0))
-            # stage-1 checkpoints serialize the full TrainState; tolerate a
-            # bare-params dict too (multi-format loading like
-            # improved_diffusion_trainer.py:181-191)
-            try:
-                restored = load_state(vae_checkpoint_path, tmpl_state)
-                params = restored.params
-            except Exception:
-                params = load_state(vae_checkpoint_path, template)
+            from psg_tpu.core.checkpoint import load_params
+
+            # structure-free restore of just the params subtree
+            # (multi-format tolerance like improved_diffusion_trainer.py:181-191)
+            params = load_params(vae_checkpoint_path, template)
             self.log.info("loaded frozen VAE/text from %s", vae_checkpoint_path)
             return jax.device_put(params)
         self.log.warning("no VAE checkpoint at %r — using random frozen weights",

@@ -117,11 +117,12 @@ class SDDiffusionTrainer:
         text_params = jit_init(text_encoder_init, k_text, self.bert_cfg,
                                m.text_embedding_dim)
         if vae_checkpoint_path and Path(vae_checkpoint_path).exists():
-            tmpl = TrainState.create({"vae": vae_params, "text": text_params},
-                                     (), jax.random.PRNGKey(0))
-            restored = load_state(vae_checkpoint_path, tmpl)
-            vae_params = restored.params["vae"]
-            text_params = restored.params["text"]
+            from psg_tpu.core.checkpoint import load_params
+
+            restored = load_params(vae_checkpoint_path,
+                                   {"vae": vae_params, "text": text_params})
+            vae_params = restored["vae"]
+            text_params = restored["text"]
             self.log.info("loaded VAE+text from %s", vae_checkpoint_path)
         self.frozen_vae = jax.device_put(vae_params)
 

@@ -174,17 +174,15 @@ class FinalTrainer:
         }
         unet_tmpl = jit_init(unet_init, k_unet, self.spec)
 
+        from psg_tpu.core.checkpoint import load_params
+
         if vae_path and Path(vae_path).exists():
-            st = load_state(vae_path,
-                            TrainState.create(vae_tmpl, (), jax.random.PRNGKey(0)))
-            vae_tmpl = st.params
+            vae_tmpl = load_params(vae_path, vae_tmpl)
             self.log.info("loaded VAE+text from %s", vae_path)
         else:
             self.log.warning("no VAE checkpoint (%r) — random init", str(vae_path))
         if diff_path and Path(diff_path).exists():
-            st = load_state(diff_path,
-                            TrainState.create(unet_tmpl, (), jax.random.PRNGKey(0)))
-            unet_tmpl = st.params
+            unet_tmpl = load_params(diff_path, unet_tmpl)
             self.log.info("loaded UNet from %s", diff_path)
         else:
             self.log.warning("no diffusion checkpoint (%r) — random init",
