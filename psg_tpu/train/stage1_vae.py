@@ -178,7 +178,7 @@ class VAETrainer:
             return load_state(path, jit_init(vgg16_init, jax.random.PRNGKey(0)))
         return jit_init(vgg16_init, jax.random.PRNGKey(1234))
 
-    def _forward_loss(self, params, batch, rng, kl_weight, mode):
+    def _forward_loss(self, params, vgg_params, batch, rng, kl_weight, mode):
         text_emb = text_encoder_apply(
             params["text"], batch["text_ids"], batch["text_mask"],
             self.bert_cfg, dtype=self.compute_dtype)
@@ -189,18 +189,20 @@ class VAETrainer:
                         text_bias=text_bias, dtype=self.compute_dtype)
         t = self.cfg.training
         loss, parts = vae_loss(
-            self.vgg_params, out["reconstructed"], batch["image"],
+            vgg_params, out["reconstructed"], batch["image"],
             out["mu"], out["logvar"],
             reconstruction_weight=t.reconstruction_weight,
             perceptual_weight=t.perceptual_weight,
             kl_weight=kl_weight, dtype=self.compute_dtype)
         return loss, parts
 
-    def _step(self, state: TrainState, batch, kl_weight):
+    def _step(self, state: TrainState, vgg_params, batch, kl_weight):
+        # vgg_params passed explicitly so the perceptual tower isn't baked
+        # into the executable as constants
         rng = jax.random.fold_in(state.rng, state.step)
 
         def loss_fn(p):
-            return self._forward_loss(p, batch, rng, kl_weight, "train")
+            return self._forward_loss(p, vgg_params, batch, rng, kl_weight, "train")
 
         (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
@@ -210,9 +212,10 @@ class VAETrainer:
         parts["kl_weight"] = kl_weight
         return TrainState(state.step + 1, params, opt_state, state.rng), parts
 
-    def _eval(self, state: TrainState, batch, kl_weight):
+    def _eval(self, state: TrainState, vgg_params, batch, kl_weight):
         rng = jax.random.fold_in(state.rng, jnp.int32(-1))
-        _, parts = self._forward_loss(state.params, batch, rng, kl_weight, "val")
+        _, parts = self._forward_loss(state.params, vgg_params, batch, rng,
+                                      kl_weight, "val")
         return parts
 
     def _sample(self, params, rng, text_ids, text_mask):
@@ -244,7 +247,8 @@ class VAETrainer:
                 from psg_tpu.parallel import shard_batch
 
                 batch = shard_batch(batch, self.mesh)
-            self.state, parts = self._train_step(self.state, batch, klw)
+            self.state, parts = self._train_step(self.state, self.vgg_params,
+                                                  batch, klw)
             count += 1
             thr.step()
             if count % self.cfg.training.log_every == 0:
@@ -271,7 +275,7 @@ class VAETrainer:
                 from psg_tpu.parallel import shard_batch
 
                 b = shard_batch(b, self.mesh)
-            parts = self._eval_step(self.state, b, klw)
+            parts = self._eval_step(self.state, self.vgg_params, b, klw)
             total += float(parts["total_loss"]) * valid
             n += valid
         val = total / max(n, 1)

@@ -218,23 +218,26 @@ class FinalTrainer:
                            dtype=self.compute_dtype)
         return recon
 
-    def _loss(self, params, batch, rng):
+    def _loss(self, params, clip_params, batch, rng):
         recon = self._roundtrip(params, batch, rng)
         l1 = l1_loss(recon, batch["image"])
         mse = mse_loss(recon, batch["image"])
         gen_loss = l1 + 0.1 * mse  # (:425-440)
-        clip = clip_alignment_loss(self.clip_params, recon, batch["text_ids"],
+        clip = clip_alignment_loss(clip_params, recon, batch["text_ids"],
                                    batch["text_mask"], self.clip_cfg,
                                    dtype=self.compute_dtype)
         total = gen_loss + self.cfg.training.clip_weight * clip
         return total, {"total_loss": total, "l1_loss": l1, "mse_loss": mse,
                        "clip_loss": clip}
 
-    def _step(self, state: TrainState, batch):
+    def _step(self, state: TrainState, clip_params, batch):
+        # clip_params are a jit ARGUMENT — closing over the frozen CLIP
+        # tower bakes ~0.5GB of constants into the program (HTTP 413 from
+        # the remote compiler)
         rng = jax.random.fold_in(state.rng, state.step)
 
         def loss_fn(p):
-            return self._loss(p, batch, rng)
+            return self._loss(p, clip_params, batch, rng)
 
         (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
@@ -243,9 +246,9 @@ class FinalTrainer:
         parts["grad_norm"] = global_norm(grads)
         return TrainState(state.step + 1, params, opt_state, state.rng), parts
 
-    def _eval(self, state: TrainState, batch):
+    def _eval(self, state: TrainState, clip_params, batch):
         rng = jax.random.fold_in(state.rng, jnp.int32(-3))
-        _, parts = self._loss(state.params, batch, rng)
+        _, parts = self._loss(state.params, clip_params, batch, rng)
         return parts
 
     def _sample(self, params, rng, text_ids, text_mask, *, num: int,
@@ -292,7 +295,7 @@ class FinalTrainer:
                 from psg_tpu.parallel import shard_batch
 
                 b = shard_batch(b, self.mesh)
-            self.state, parts = self._train_step(self.state, b)
+            self.state, parts = self._train_step(self.state, self.clip_params, b)
             count += 1
             if count % self.cfg.training.log_every == 0:
                 vals = {k: float(v) for k, v in parts.items()}
@@ -316,7 +319,7 @@ class FinalTrainer:
                 from psg_tpu.parallel import shard_batch
 
                 b = shard_batch(b, self.mesh)
-            parts = self._eval_step(self.state, b)
+            parts = self._eval_step(self.state, self.clip_params, b)
             total += float(parts["total_loss"]) * valid
             n += valid
         val = total / max(n, 1)

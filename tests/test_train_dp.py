@@ -90,6 +90,6 @@ def test_stage1_dp_step_on_mesh(tmp_path):
     batch = next(iter(t.train_loader))
     b = shard_batch({k: batch[k] for k in ("image", "text_ids", "text_mask")},
                     mesh)
-    state2, parts = t._train_step(t.state, b, jnp.float32(0.001))
+    state2, parts = t._train_step(t.state, t.vgg_params, b, jnp.float32(0.001))
     assert np.isfinite(float(parts["total_loss"]))
     assert state2.params["vae"]["encoder"]["mu"]["w"].sharding.is_fully_replicated

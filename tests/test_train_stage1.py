@@ -67,7 +67,7 @@ def test_step_updates_params_and_is_finite(trainer):
     b = {k: batch[k] for k in ("image", "text_ids", "text_mask")}
     # the step donates the state, so materialize the 'before' weights first
     before = np.asarray(trainer.state.params["vae"]["encoder"]["mu"]["w"])
-    state2, parts = trainer._train_step(trainer.state, b, jnp.float32(0.001))
+    state2, parts = trainer._train_step(trainer.state, trainer.vgg_params, b, jnp.float32(0.001))
     after = np.asarray(state2.params["vae"]["encoder"]["mu"]["w"])
     assert np.isfinite(float(parts["total_loss"]))
     assert np.max(np.abs(before - after)) > 0.0
