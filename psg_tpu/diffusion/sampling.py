@@ -25,7 +25,6 @@ an initial latent or a shape to draw from N(0, I).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

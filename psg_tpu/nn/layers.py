@@ -13,8 +13,6 @@ to ``lax.conv_general_dilated``, which has identical floor semantics.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 from jax import lax

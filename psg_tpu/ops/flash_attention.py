@@ -27,14 +27,6 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-try:  # pragma: no cover - exercised on TPU
-    from jax.experimental.pallas import tpu as pltpu
-
-    _HAS_PLTPU = True
-except Exception:  # pragma: no cover
-    _HAS_PLTPU = False
-
-
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 

@@ -20,7 +20,6 @@ axis for the >=64-sprite serving target (BASELINE.json config 5).
 
 from __future__ import annotations
 
-from functools import partial
 from pathlib import Path
 from typing import List, Optional, Sequence
 
