@@ -16,6 +16,97 @@ import sys
 import time
 
 BASELINE_STEPS_PER_SEC = 200.0  # driver-set target (BASELINE.json)
+PEAK_BF16_TFLOPS = {"TPU v5 lite": 197.0}  # per-chip peak, by device prefix
+
+
+def _peak_tflops(device_str: str):
+    for prefix, peak in PEAK_BF16_TFLOPS.items():
+        if device_str.startswith(prefix):
+            return peak
+    return None
+
+
+def _flops_of(compiled) -> float:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def serve_bench(steps: int = 50) -> int:
+    """`python bench.py serve [steps]` — end-to-end batched serving
+    throughput (text encode -> strided DDPM chain -> VAE decode) at batch
+    8 and 64 on one chip, random full-size weights (throughput is
+    weight-value independent).  BASELINE config 5's serving-scale row."""
+    import jax
+    import jax.numpy as jnp
+
+    from psg_tpu.core.initutil import jit_init
+    from psg_tpu.diffusion import ddpm_sample_fast, make_schedule
+    from psg_tpu.models.bert import BertConfig
+    from psg_tpu.models.text_encoder import text_encoder_apply, text_encoder_init
+    from psg_tpu.models.unet import UNetSpec, text_bias_from_mask, unet_apply, unet_init
+    from psg_tpu.models.vae import vae_decode, vae_init
+
+    spec = UNetSpec(text_dim=768, num_heads=4)
+    bert_cfg = BertConfig.base()
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    to_bf16 = lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), t)
+    params = {
+        "unet": jax.jit(lambda k: to_bf16(unet_init(k, spec)))(k1),
+        "text": jit_init(text_encoder_init, k2, bert_cfg, 768),
+        "vae": jit_init(vae_init, k3, 8, 768),
+    }
+    jax.block_until_ready(params)
+    schedule = make_schedule(1000, 1e-4, 0.02, "linear")  # serving schedule
+    stride = max(1, 1000 // steps)
+
+    def chain(p, ids, mask, rng):
+        emb = text_encoder_apply(p["text"], ids, mask, bert_cfg,
+                                 dtype=jnp.bfloat16)
+
+        def denoise(x, t):
+            return unet_apply(p["unet"], x.astype(emb.dtype), t, emb, spec,
+                              text_mask=mask, dtype=jnp.bfloat16)
+
+        b = ids.shape[0]
+        latents = ddpm_sample_fast(denoise, schedule, rng,
+                                   shape=(b, 27, 27, 8), stride=stride)
+        return vae_decode(p["vae"], latents.astype(emb.dtype), emb,
+                          text_bias=text_bias_from_mask(mask),
+                          image_size=215, dtype=jnp.bfloat16)
+
+    rows = {}
+    jchain = jax.jit(chain)
+    for batch in (8, 64):
+        ids = jnp.ones((batch, 128), jnp.int32)
+        mask = jnp.ones((batch, 128), jnp.int32)
+        out = jchain(params, ids, mask, jax.random.PRNGKey(1))
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        reps = 3
+        for i in range(reps):
+            out = jchain(params, ids, mask, jax.random.PRNGKey(2 + i))
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        rows[batch] = {"seconds_per_batch": round(dt, 3),
+                       "sprites_per_min": round(batch * 60.0 / dt, 1)}
+
+    print(json.dumps({
+        "metric": "serving_sprites_per_min_per_chip",
+        "value": rows[64]["sprites_per_min"],
+        "unit": "sprites/min",
+        "vs_baseline": None,
+        "detail": {"steps": steps, "unet_evals": 1000 // stride,
+                   "by_batch": rows, "backend": jax.default_backend(),
+                   "device": str(jax.devices()[0])},
+    }))
+    return 0
 
 
 def train_bench(batch: int = 4, steps: int = 20) -> int:
@@ -87,6 +178,8 @@ def main() -> int:
 
     if len(sys.argv) > 1 and sys.argv[1] == "train":
         return train_bench(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    if len(sys.argv) > 1 and sys.argv[1] == "serve":
+        return serve_bench(int(sys.argv[2]) if len(sys.argv) > 2 else 50)
 
     # default batch 4 = the reference's shipped training/serving batch
     # (config/train_config.yaml:27)
@@ -121,8 +214,11 @@ def main() -> int:
         return ddpm_sample(denoise, schedule, rng, shape=shape,
                            num_timesteps=n_steps)
 
-    # warmup / compile
-    out = run_chain(params, text_emb, text_mask, jax.random.PRNGKey(1))
+    # warmup / compile; keep the executable for its XLA FLOP count (MFU)
+    example = (params, text_emb, text_mask, jax.random.PRNGKey(1))
+    compiled = run_chain.lower(*example).compile()
+    chain_flops = _flops_of(compiled)
+    out = run_chain(*example)
     out.block_until_ready()
 
     t0 = time.perf_counter()
@@ -135,6 +231,14 @@ def main() -> int:
     steps_per_sec = n_steps / dt
     sprites_per_min_1000 = batch * 60.0 / (1000.0 / steps_per_sec)
 
+    # roofline: XLA's own FLOP count for the chain / measured time vs the
+    # chip's bf16 peak — the regressions-and-headroom line (VERDICT r1 #1)
+    device = str(jax.devices()[0])
+    peak = _peak_tflops(device)
+    achieved_tflops = chain_flops / dt / 1e12 if chain_flops else None
+    mfu = (round(achieved_tflops / peak, 4)
+           if achieved_tflops is not None and peak else None)
+
     print(json.dumps({
         "metric": "unet_denoise_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 2),
@@ -145,8 +249,13 @@ def main() -> int:
             "chain_steps": n_steps,
             "seconds_per_chain": round(dt, 3),
             "sprites_per_min_at_1000_steps": round(sprites_per_min_1000, 2),
+            "gflop_per_step": round(chain_flops / n_steps / 1e9, 1)
+            if chain_flops else None,
+            "achieved_tflops": round(achieved_tflops, 1)
+            if achieved_tflops else None,
+            "mfu": mfu,
             "backend": jax.default_backend(),
-            "device": str(jax.devices()[0]),
+            "device": device,
         },
     }))
     return 0

@@ -32,6 +32,9 @@ class ModelConfig:
     latent_dim: int = 8
     image_size: int = 215
     latent_size: int = 27
+    # 1.0 = reference channel widths (32..512); <1 builds a proportionally
+    # narrower tower (tests / CPU dryruns)
+    vae_width_scale: float = 1.0
 
     # Diffusion (reference: config/train_config.yaml:18-21)
     num_timesteps: int = 1000

@@ -108,6 +108,12 @@ def full_description(name: str, description: str) -> str:
     return ". ".join(parts) + "."
 
 
+# Decoded sprites keyed by (csv, dir, size, background): the 3-stage CLI
+# (and the test suite) builds a dataset per stage — decode the 898 PNGs
+# once per process, not once per trainer.  Entries are treated read-only.
+_SPRITE_CACHE: Dict[tuple, tuple] = {}
+
+
 class PokemonDataset:
     """In-memory dataset of composited sprites + pre-tokenized text."""
 
@@ -116,23 +122,30 @@ class PokemonDataset:
                  text_len: int = 128):
         self.image_size = image_size
         self.background = _resolve_background(background_color)
-        rows = read_description_csv(csv_path)
 
-        image_dir = Path(image_dir)
-        self.rows = []
-        images = []
-        missing = 0
-        for row in rows:
-            p = image_dir / f"{row['national_number']:03d}.png"
-            if not p.exists():
-                missing += 1
-                continue
-            self.rows.append(row)
-            images.append(load_sprite(p, self.background, image_size))
-        if missing:
-            log.warning("filtered out %d entries with missing images", missing)
-        self.images = np.stack(images) if images else np.zeros(
-            (0, image_size, image_size, 3), np.uint8)
+        cache_key = (str(csv_path), str(image_dir), image_size, self.background)
+        cached = _SPRITE_CACHE.get(cache_key)
+        if cached is not None:
+            self.rows, self.images = cached
+        else:
+            rows = read_description_csv(csv_path)
+            image_dir = Path(image_dir)
+            self.rows = []
+            images = []
+            missing = 0
+            for row in rows:
+                p = image_dir / f"{row['national_number']:03d}.png"
+                if not p.exists():
+                    missing += 1
+                    continue
+                self.rows.append(row)
+                images.append(load_sprite(p, self.background, image_size))
+            if missing:
+                log.warning("filtered out %d entries with missing images", missing)
+            self.images = np.stack(images) if images else np.zeros(
+                (0, image_size, image_size, 3), np.uint8)
+            self.images.setflags(write=False)
+            _SPRITE_CACHE[cache_key] = (self.rows, self.images)
 
         self.names = [r["english_name"] for r in self.rows]
         self.descriptions = [r["description"] for r in self.rows]
@@ -154,6 +167,13 @@ class PokemonDataset:
         else:
             self.text_ids = self.text_mask = None
             self.desc_ids = self.desc_mask = None
+        self.clip_ids = self.clip_mask = None
+
+    def set_clip_tokenizer(self, bpe, length: int = 77) -> None:
+        """Pre-tokenize descriptions with the CLIP BPE (stage-3 loss with
+        pretrained CLIP); batches gain ``clip_ids``/``clip_mask``."""
+        self.clip_ids, self.clip_mask = bpe.encode_batch(
+            self.full_descriptions, length)
 
     def __len__(self) -> int:
         return len(self.rows)

@@ -88,6 +88,9 @@ class Loader:
             batch["text_mask"] = self.ds.text_mask[idxs]
             batch["desc_ids"] = self.ds.desc_ids[idxs]
             batch["desc_mask"] = self.ds.desc_mask[idxs]
+        if getattr(self.ds, "clip_ids", None) is not None:
+            batch["clip_ids"] = self.ds.clip_ids[idxs]
+            batch["clip_mask"] = self.ds.clip_mask[idxs]
         return batch
 
     def _epoch_index_batches(self):

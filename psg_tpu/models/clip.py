@@ -172,14 +172,19 @@ def clip_encode_text(params, ids, mask, cfg: ClipConfig, *, dtype=None):
 
 
 def clip_alignment_loss(params, images, text_ids, text_mask,
-                        cfg: ClipConfig, *, dtype=None):
+                        cfg: ClipConfig, *, dtype=None, sample_weights=None):
     """Negative mean cosine similarity (clip_loss.py:55-66).
 
     images in [-1, 1] (rescaled to [0, 1] internally, clip_loss.py:52).
+    ``sample_weights`` [B] excludes padded tail samples during eval.
     """
     img01 = (images + 1.0) / 2.0
     ie = clip_encode_image(params, img01, cfg, dtype=dtype)
     te = clip_encode_text(params, text_ids, text_mask, cfg, dtype=dtype)
     ie = ie / (jnp.linalg.norm(ie, axis=-1, keepdims=True) + 1e-8)
     te = te / (jnp.linalg.norm(te, axis=-1, keepdims=True) + 1e-8)
-    return -jnp.mean(jnp.sum(ie * te, axis=-1))
+    cos = jnp.sum(ie * te, axis=-1)
+    if sample_weights is None:
+        return -jnp.mean(cos)
+    w = sample_weights.astype(cos.dtype)
+    return -jnp.sum(cos * w) / jnp.maximum(jnp.sum(w), 1.0)

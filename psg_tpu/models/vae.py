@@ -55,11 +55,16 @@ def resnet_block_init(key, cin: int, cout: int, dtype=jnp.float32):
 
 def resnet_block(params, x, *, dtype=None):
     from psg_tpu import ops
+    from psg_tpu.nn.layers import largest_group_count
 
     residual = x
-    h = ops.group_norm_silu(params["norm1"], x, 32, eps=1e-5)
+    # GroupNorm(32) at reference widths (all multiples of 32,
+    # vae_decoder.py:13-16); the divisor rule generalizes to scaled widths
+    h = ops.group_norm_silu(params["norm1"], x,
+                            largest_group_count(x.shape[-1]), eps=1e-5)
     h = conv2d(params["conv1"], h, stride=1, padding=1, dtype=dtype)
-    h = ops.group_norm_silu(params["norm2"], h, 32, eps=1e-5)
+    h = ops.group_norm_silu(params["norm2"], h,
+                            largest_group_count(h.shape[-1]), eps=1e-5)
     h = conv2d(params["conv2"], h, stride=1, padding=1, dtype=dtype)
     if "shortcut" in params:
         residual = conv2d(params["shortcut"], residual, stride=1, padding=0, dtype=dtype)
@@ -86,16 +91,30 @@ _ENC_DOWN = (  # (cin, cout, kernel, stride, pad)
 _ENC_RES = ((128, 256), (256, 256), (256, 512), (512, 512))
 
 
-def vae_encoder_init(key, latent_dim: int = 8, dtype=jnp.float32):
+def _w(c: int, scale: float) -> int:
+    """Scale a channel width, keeping it a multiple of 8 (attention heads
+    and GroupNorm divisors stay valid)."""
+    if scale == 1.0:
+        return c
+    return max(8, int(round(c * scale / 8)) * 8)
+
+
+def vae_encoder_init(key, latent_dim: int = 8, dtype=jnp.float32,
+                     width_scale: float = 1.0):
+    """``width_scale`` < 1 builds a proportionally narrower tower (tests,
+    CPU dryruns); 1.0 is the reference architecture exactly."""
     ks = iter(jax.random.split(key, 16))
+    s = width_scale
     p = {}
     for i, (cin, cout, k, _s, _pad) in enumerate(_ENC_DOWN):
-        p[f"down{i}"] = conv2d_init(next(ks), cin, cout, k, init="torch", dtype=dtype)
-        p[f"res{i}"] = resnet_block_init(next(ks), cout, cout, dtype)
+        cin = cin if i == 0 else _w(cin, s)
+        p[f"down{i}"] = conv2d_init(next(ks), cin, _w(cout, s), k,
+                                    init="torch", dtype=dtype)
+        p[f"res{i}"] = resnet_block_init(next(ks), _w(cout, s), _w(cout, s), dtype)
     for i, (cin, cout) in enumerate(_ENC_RES):
-        p[f"deep{i}"] = resnet_block_init(next(ks), cin, cout, dtype)
-    p["mu"] = conv2d_init(next(ks), 512, latent_dim, 3, init="torch", dtype=dtype)
-    p["logvar"] = conv2d_init(next(ks), 512, latent_dim, 3, init="torch", dtype=dtype)
+        p[f"deep{i}"] = resnet_block_init(next(ks), _w(cin, s), _w(cout, s), dtype)
+    p["mu"] = conv2d_init(next(ks), _w(512, s), latent_dim, 3, init="torch", dtype=dtype)
+    p["logvar"] = conv2d_init(next(ks), _w(512, s), latent_dim, 3, init="torch", dtype=dtype)
     return p
 
 
@@ -134,17 +153,19 @@ _DEC_BLOCKS = (  # (cin, cout, upsample-target or None); sizes for 215 images
 
 
 def vae_decoder_init(key, latent_dim: int = 8, text_dim: int = 768,
-                     dtype=jnp.float32):
+                     dtype=jnp.float32, width_scale: float = 1.0):
     ks = iter(jax.random.split(key, 32))
-    p = {"latent_proj": conv2d_init(next(ks), latent_dim, 512, 3, init="torch", dtype=dtype)}
+    s = width_scale
+    p = {"latent_proj": conv2d_init(next(ks), latent_dim, _w(512, s), 3,
+                                    init="torch", dtype=dtype)}
     for i, (cin, cout, _up) in enumerate(_DEC_BLOCKS):
         p[f"block{i}"] = {
-            "res1": resnet_block_init(next(ks), cin, cout, dtype),
-            "attn": spatial_cross_attention_init(next(ks), cout, text_dim, dtype),
-            "res2": resnet_block_init(next(ks), cout, cout, dtype),
+            "res1": resnet_block_init(next(ks), _w(cin, s), _w(cout, s), dtype),
+            "attn": spatial_cross_attention_init(next(ks), _w(cout, s), text_dim, dtype),
+            "res2": resnet_block_init(next(ks), _w(cout, s), _w(cout, s), dtype),
         }
-    p["final_norm"] = group_norm_init(32, dtype)
-    p["final_conv"] = conv2d_init(next(ks), 32, 3, 3, init="torch", dtype=dtype)
+    p["final_norm"] = group_norm_init(_w(32, s), dtype)
+    p["final_conv"] = conv2d_init(next(ks), _w(32, s), 3, 3, init="torch", dtype=dtype)
     return p
 
 
@@ -179,11 +200,12 @@ def vae_decoder_apply(params, latent, text_emb, *, text_bias=None,
 # ---------------------------------------------------------------------------
 
 
-def vae_init(key, latent_dim: int = 8, text_dim: int = 768, dtype=jnp.float32):
+def vae_init(key, latent_dim: int = 8, text_dim: int = 768, dtype=jnp.float32,
+             width_scale: float = 1.0):
     k1, k2 = jax.random.split(key)
     return {
-        "encoder": vae_encoder_init(k1, latent_dim, dtype),
-        "decoder": vae_decoder_init(k2, latent_dim, text_dim, dtype),
+        "encoder": vae_encoder_init(k1, latent_dim, dtype, width_scale),
+        "decoder": vae_decoder_init(k2, latent_dim, text_dim, dtype, width_scale),
     }
 
 

@@ -135,7 +135,11 @@ def spatial_cross_attention(params, x, text_emb, num_heads: int = 8, *,
     hd = c // num_heads
     residual = x
 
-    xn = group_norm(params["norm"], x, num_groups=32, eps=1e-5)
+    from psg_tpu.nn.layers import largest_group_count
+
+    # GroupNorm(32) at reference widths; divisor rule for scaled widths
+    xn = group_norm(params["norm"], x, num_groups=largest_group_count(c),
+                    eps=1e-5)
     q = conv2d(params["q"], xn, stride=1, padding=0, dtype=dtype)  # [B,H,W,C]
     k = linear(params["k"], text_emb, dtype=dtype)  # [B,S,C]
     v = linear(params["v"], text_emb, dtype=dtype)

@@ -4,7 +4,11 @@ from psg_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
-from psg_tpu.parallel.sharding import param_shardings, unet_tp_rules
+from psg_tpu.parallel.sharding import (
+    param_shardings,
+    shard_state,
+    unet_tp_rules,
+)
 
 __all__ = [
     "make_mesh",
@@ -12,5 +16,6 @@ __all__ = [
     "replicated",
     "shard_batch",
     "param_shardings",
+    "shard_state",
     "unet_tp_rules",
 ]

@@ -39,6 +39,16 @@ def unet_tp_rules(min_channels: int = 640) -> Callable:
     return rule
 
 
+def _assign_sharding(mesh: Mesh, rule: Optional[Callable], path, leaf):
+    spec = rule(path, leaf) if rule is not None else P()
+    model_size = mesh.shape.get("model", 1)
+    # validate divisibility; replicate on mismatch
+    for dim, axis in zip(getattr(leaf, "shape", ()), spec):
+        if axis == "model" and dim % model_size != 0:
+            return NamedSharding(mesh, P())
+    return NamedSharding(mesh, spec)
+
+
 def param_shardings(params, mesh: Mesh, rule: Optional[Callable] = None):
     """Pytree of NamedShardings for ``params``.
 
@@ -46,14 +56,23 @@ def param_shardings(params, mesh: Mesh, rule: Optional[Callable] = None):
     Falls back to replication whenever a dimension doesn't divide the mesh
     axis (odd channel counts stay replicated instead of erroring).
     """
-    model_size = mesh.shape.get("model", 1)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _assign_sharding(mesh, rule, path, leaf), params)
 
-    def assign(path, leaf):
-        spec = rule(path, leaf) if rule is not None else P()
-        # validate divisibility; replicate on mismatch
-        for dim, axis in zip(leaf.shape, spec):
-            if axis == "model" and dim % model_size != 0:
-                return NamedSharding(mesh, P())
-        return NamedSharding(mesh, spec)
 
-    return jax.tree_util.tree_map_with_path(assign, params)
+def shard_state(state, mesh: Mesh, rule: Optional[Callable] = None):
+    """Place a whole TrainState on a mesh: params AND optimizer moments
+    sharded by ``rule`` (replicated when rule is None), scalars replicated.
+
+    The shipped rules (``unet_tp_rules``) depend only on leaf shape, so the
+    Adam mu/nu trees — structurally mirrors of params — land on exactly the
+    same shards as their parameters, which is what keeps the optimizer
+    update fully local under TP.
+    """
+
+    def place(leaf):
+        if getattr(leaf, "ndim", 0) < 2:
+            return jax.device_put(leaf, NamedSharding(mesh, P()))
+        return jax.device_put(leaf, _assign_sharding(mesh, rule, None, leaf))
+
+    return jax.tree_util.tree_map(place, state)

@@ -94,7 +94,22 @@ class PokemonGenerator:
 
         self.params = self._load(vae_checkpoint, diffusion_checkpoint)
         if mesh is not None:
-            self.params = jax.device_put(self.params, replicated(mesh))
+            if mesh.shape.get("model", 1) > 1:
+                # TP serving: UNet channels shard over 'model' so a
+                # batch smaller than the mesh still uses every chip
+                from psg_tpu.parallel import param_shardings, unet_tp_rules
+
+                rule = unet_tp_rules(int((cfg.extra or {}).get(
+                    "tp_min_channels", 640)))
+                self.params = {
+                    "unet": jax.device_put(
+                        self.params["unet"],
+                        param_shardings(self.params["unet"], mesh, rule)),
+                    "vae": jax.device_put(self.params["vae"], replicated(mesh)),
+                    "text": jax.device_put(self.params["text"], replicated(mesh)),
+                }
+            else:
+                self.params = jax.device_put(self.params, replicated(mesh))
 
         self._generate = jax.jit(
             self._generate_impl, static_argnames=("steps", "num", "sampler"))
@@ -109,7 +124,8 @@ class PokemonGenerator:
         k_vae, k_text, k_unet, _ = jax.random.split(key, 4)
         vae_tmpl = {
             "vae": jit_init(vae_init, k_vae, self.cfg.model.latent_dim,
-                            self.cfg.model.text_embedding_dim),
+                            self.cfg.model.text_embedding_dim,
+                            width_scale=self.cfg.model.vae_width_scale),
             "text": jit_init(text_encoder_init, k_text, self.bert_cfg,
                              self.cfg.model.text_embedding_dim),
         }

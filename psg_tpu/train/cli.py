@@ -4,9 +4,10 @@ Equivalent of the reference's ``train_3stage.py`` with the same flag
 surface (train_3stage.py:28-54): ``--config --stage {1,2,3,all}
 --vae-checkpoint --diffusion-checkpoint --experiment-name --resume
 --data-stats`` plus ``--override section.key=value`` (typed-config extra).
-``--use-diffusers`` is accepted and reported as not-yet-supported (the
-SD-1.5 UNet path is documented as deferred; the custom UNet is the primary
-path, SURVEY.md §2.5).
+``--use-diffusers`` routes stage 2 to ``SDDiffusionTrainer`` (the SD-1.5
+UNet wrapper, psg_tpu/train/stage2_sd.py), matching the reference's
+``train_3stage.py --use-diffusers`` -> DiffusersTrainer dispatch; the
+custom UNet remains the default stage-2 path.
 
 Stage hand-off follows the reference's path convention
 (train_3stage.py:98,144,158-167):

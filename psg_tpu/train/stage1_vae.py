@@ -58,9 +58,27 @@ def bert_config_for(cfg: Config, vocab_size: int) -> BertConfig:
     return base._replace(vocab_size=vocab_size)
 
 
+def pretrained_bert_path() -> Optional[Path]:
+    """Converted BERT checkpoint drop location ($PSG_TPU_BERT); produced by
+    scripts/fetch_and_convert.py (reference dep: text_encoder.py:30-40)."""
+    import os
+
+    p = Path(os.environ.get("PSG_TPU_BERT", "weights/bert_base.ckpt"))
+    return p if p.exists() else None
+
+
+def pretrained_bert_vocab() -> Optional[Path]:
+    import os
+
+    p = Path(os.environ.get("PSG_TPU_BERT_VOCAB", "weights/bert_vocab.txt"))
+    return p if p.exists() else None
+
+
 def get_tokenizer(cfg: Config, stage_dir: Path, corpus=None) -> WordPieceTokenizer:
     """vocab.txt resolution: stage dir -> experiment dir -> repo config dir
-    -> build from corpus (offline fallback) and persist to the stage dir."""
+    -> pretrained-BERT vocab (when converted weights are dropped) -> build
+    from corpus (offline fallback); the winner persists to the stage dir so
+    later stages resolve identically."""
     for cand in (
         stage_dir / "vocab.txt",
         Path(cfg.experiment_dir) / "vocab.txt",
@@ -68,9 +86,13 @@ def get_tokenizer(cfg: Config, stage_dir: Path, corpus=None) -> WordPieceTokeniz
     ):
         if cand.exists():
             return WordPieceTokenizer.from_vocab_file(cand)
-    if corpus is None:
+    bert_vocab = pretrained_bert_vocab()
+    if bert_vocab is not None and pretrained_bert_path() is not None:
+        tok = WordPieceTokenizer.from_vocab_file(bert_vocab)
+    elif corpus is not None:
+        tok = WordPieceTokenizer.from_corpus(corpus)
+    else:
         raise FileNotFoundError("no vocab.txt found and no corpus provided")
-    tok = WordPieceTokenizer.from_corpus(corpus)
     stage_dir.mkdir(parents=True, exist_ok=True)
     tok.save_vocab(stage_dir / "vocab.txt")
     return tok
@@ -116,13 +138,22 @@ class VAETrainer:
         k_vae, k_text, k_vgg, k_state = jax.random.split(key, 4)
         params = {
             "vae": jit_init(vae_init, k_vae, cfg.model.latent_dim,
-                            cfg.model.text_embedding_dim),
+                            cfg.model.text_embedding_dim,
+                            width_scale=cfg.model.vae_width_scale),
             "text": jit_init(text_encoder_init, k_text, self.bert_cfg,
                              cfg.model.text_embedding_dim),
         }
+        # pretrained BERT (converted, $PSG_TPU_BERT) when shapes match the
+        # tokenizer/config; random init otherwise
+        params["text"]["bert"], bert_pretrained = self._load_bert(
+            params["text"]["bert"])
         # perceptual-loss VGG: converted torchvision weights if available,
         # else fixed-seed random features (see models/vgg.py docstring)
-        self.vgg_params = self._load_vgg(k_vgg)
+        self.vgg_params, vgg_pretrained = self._load_vgg(k_vgg)
+        self.log.info(
+            "weights: bert=%s vgg16=%s",
+            "pretrained" if bert_pretrained else "random-init",
+            "pretrained" if vgg_pretrained else "random-features")
 
         # optimizer: vae group + text group (finetune-mask aware)
         o = cfg.optimization
@@ -151,9 +182,15 @@ class VAETrainer:
         )
         self.state = TrainState.create(params, self.tx.init(params), k_state)
         if mesh is not None:
-            from psg_tpu.parallel import replicated
+            # DP over 'data'; with model>1 the wide VAE/BERT kernels (and
+            # Adam moments) shard their channel axis over 'model'
+            from psg_tpu.parallel import replicated, shard_state, unet_tp_rules
 
-            self.state = jax.device_put(self.state, replicated(mesh))
+            rule = None
+            if mesh.shape.get("model", 1) > 1:
+                rule = unet_tp_rules(int((cfg.extra or {}).get(
+                    "tp_min_channels", 640)))
+            self.state = shard_state(self.state, mesh, rule)
             self.vgg_params = jax.device_put(self.vgg_params, replicated(mesh))
         self.start_epoch = 0
         self.best_val = float("inf")
@@ -175,10 +212,35 @@ class VAETrainer:
         if Path(path).exists():
             from psg_tpu.core.checkpoint import load_state
 
-            return load_state(path, jit_init(vgg16_init, jax.random.PRNGKey(0)))
-        return jit_init(vgg16_init, jax.random.PRNGKey(1234))
+            return load_state(path, jit_init(vgg16_init, jax.random.PRNGKey(0))), True
+        return jit_init(vgg16_init, jax.random.PRNGKey(1234)), False
 
-    def _forward_loss(self, params, vgg_params, batch, rng, kl_weight, mode):
+    def _load_bert(self, template):
+        """Converted BERT weights (scripts/fetch_and_convert.py) into the
+        text-encoder's bert subtree, gated on exact shape match (vocab and
+        hidden size must agree with the tokenizer/config)."""
+        path = pretrained_bert_path()
+        if path is None:
+            return template, False
+        from flax import serialization
+
+        raw = serialization.msgpack_restore(path.read_bytes())
+        emb = raw.get("embeddings", {}).get("word")
+        want = tuple(template["embeddings"]["word"].shape)
+        n_layers = len(raw.get("layers", {}))
+        if emb is None or tuple(emb.shape) != want or \
+                n_layers != len(template["layers"]):
+            self.log.warning(
+                "pretrained BERT at %s has shape %s / %d layers but the "
+                "model wants %s / %d — skipping (check bert_model config "
+                "and that weights/bert_vocab.txt is the matching vocab)",
+                path, None if emb is None else tuple(emb.shape), n_layers,
+                want, len(template["layers"]))
+            return template, False
+        return serialization.from_state_dict(template, raw), True
+
+    def _forward_loss(self, params, vgg_params, batch, rng, kl_weight, mode,
+                      sample_weights=None):
         text_emb = text_encoder_apply(
             params["text"], batch["text_ids"], batch["text_mask"],
             self.bert_cfg, dtype=self.compute_dtype)
@@ -193,7 +255,8 @@ class VAETrainer:
             out["mu"], out["logvar"],
             reconstruction_weight=t.reconstruction_weight,
             perceptual_weight=t.perceptual_weight,
-            kl_weight=kl_weight, dtype=self.compute_dtype)
+            kl_weight=kl_weight, dtype=self.compute_dtype,
+            sample_weights=sample_weights)
         return loss, parts
 
     def _step(self, state: TrainState, vgg_params, batch, kl_weight):
@@ -212,10 +275,13 @@ class VAETrainer:
         parts["kl_weight"] = kl_weight
         return TrainState(state.step + 1, params, opt_state, state.rng), parts
 
-    def _eval(self, state: TrainState, vgg_params, batch, kl_weight):
+    def _eval(self, state: TrainState, vgg_params, batch, kl_weight, valid):
+        # padded tail samples (positions >= valid) are masked out of every
+        # loss term so val loss is invariant to batch size
         rng = jax.random.fold_in(state.rng, jnp.int32(-1))
+        w = (jnp.arange(batch["image"].shape[0]) < valid).astype(jnp.float32)
         _, parts = self._forward_loss(state.params, vgg_params, batch, rng,
-                                      kl_weight, "val")
+                                      kl_weight, "val", sample_weights=w)
         return parts
 
     def _sample(self, params, rng, text_ids, text_mask):
@@ -275,7 +341,8 @@ class VAETrainer:
                 from psg_tpu.parallel import shard_batch
 
                 b = shard_batch(b, self.mesh)
-            parts = self._eval_step(self.state, self.vgg_params, b, klw)
+            parts = self._eval_step(self.state, self.vgg_params, b, klw,
+                                    jnp.int32(valid))
             total += float(parts["total_loss"]) * valid
             n += valid
         val = total / max(n, 1)

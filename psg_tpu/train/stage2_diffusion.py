@@ -161,11 +161,18 @@ class DiffusionTrainer:
         )
         self.state = TrainState.create(unet_params, self.tx.init(unet_params), k_state)
         if mesh is not None:
-            # DP: params + frozen weights replicated, batches sharded over
-            # 'data' (shard_batch below); XLA psums the grads over ICI
-            from psg_tpu.parallel import replicated
+            # DP: batches sharded over 'data' (shard_batch below); XLA
+            # psums the grads over ICI.  TP: with mesh model>1 the wide
+            # UNet kernels (and their Adam moments) shard their channel
+            # axis over 'model' — the optional first-class model axis of
+            # SURVEY §2.6; frozen towers stay replicated.
+            from psg_tpu.parallel import replicated, shard_state, unet_tp_rules
 
-            self.state = jax.device_put(self.state, replicated(mesh))
+            rule = None
+            if mesh.shape.get("model", 1) > 1:
+                rule = unet_tp_rules(int((cfg.extra or {}).get(
+                    "tp_min_channels", 640)))
+            self.state = shard_state(self.state, mesh, rule)
             self.frozen = jax.device_put(self.frozen, replicated(mesh))
         self.start_epoch = 0
         self.best_val = float("inf")
@@ -186,7 +193,8 @@ class DiffusionTrainer:
         k_vae, k_text, _, _ = jax.random.split(key, 4)
         template = {
             "vae": jit_init(vae_init, k_vae, self.cfg.model.latent_dim,
-                            self.cfg.model.text_embedding_dim),
+                            self.cfg.model.text_embedding_dim,
+                            width_scale=self.cfg.model.vae_width_scale),
             "text": jit_init(text_encoder_init, k_text, self.bert_cfg,
                              self.cfg.model.text_embedding_dim),
         }
@@ -215,7 +223,8 @@ class DiffusionTrainer:
         latent = jnp.clip(latent, -clamp, clamp)  # (:363)
         return text_emb, latent
 
-    def _noise_loss(self, unet_params, frozen, batch, rng, dropout_key=None):
+    def _noise_loss(self, unet_params, frozen, batch, rng, dropout_key=None,
+                    sample_weights=None):
         k_rep, k_t, k_noise = jax.random.split(rng, 3)
         text_emb, latent = self._prep_latents(frozen, batch, k_rep)
         b = latent.shape[0]
@@ -226,8 +235,9 @@ class DiffusionTrainer:
                           self.spec, text_mask=batch["text_mask"],
                           dtype=self.compute_dtype, dropout_key=dropout_key)
         if self.loss_kind == "mse":
-            return mse_loss(pred, noise)
-        return smooth_l1_loss(pred, noise, beta=0.1)
+            return mse_loss(pred, noise, sample_weights=sample_weights)
+        return smooth_l1_loss(pred, noise, beta=0.1,
+                              sample_weights=sample_weights)
 
     def _step(self, state: TrainState, frozen, batch):
         rng = jax.random.fold_in(state.rng, state.step)
@@ -242,9 +252,14 @@ class DiffusionTrainer:
         metrics = {"loss": loss, "grad_norm": global_norm(grads)}
         return TrainState(state.step + 1, params, opt_state, state.rng), metrics
 
-    def _eval(self, state: TrainState, frozen, batch):
+    def _eval(self, state: TrainState, frozen, batch, valid):
+        # mask wraparound-padded tail samples (loader pads the last eval
+        # batch; padding at positions >= valid) so the weighted-mean loss
+        # is exact over real samples only
         rng = jax.random.fold_in(state.rng, jnp.int32(-2))
-        loss = self._noise_loss(state.params, frozen, batch, rng)
+        w = (jnp.arange(batch["image"].shape[0]) < valid).astype(jnp.float32)
+        loss = self._noise_loss(state.params, frozen, batch, rng,
+                                sample_weights=w)
         return {"loss": loss}
 
     def _sample(self, unet_params, frozen, rng, text_ids, text_mask, *,
@@ -302,7 +317,8 @@ class DiffusionTrainer:
                 from psg_tpu.parallel import shard_batch
 
                 b = shard_batch(b, self.mesh)
-            parts = self._eval_step(self.state, self.frozen, b)
+            parts = self._eval_step(self.state, self.frozen, b,
+                                    jnp.int32(valid))
             total += float(parts["loss"]) * valid
             n += valid
         val = total / max(n, 1)

@@ -113,7 +113,8 @@ class SDDiffusionTrainer:
         # frozen VAE + trainable text encoder from the stage-1 checkpoint
         key = jax.random.PRNGKey(cfg.seed)
         k_vae, k_text, k_sd, k_state = jax.random.split(key, 4)
-        vae_params = jit_init(vae_init, k_vae, m.latent_dim, m.text_embedding_dim)
+        vae_params = jit_init(vae_init, k_vae, m.latent_dim, m.text_embedding_dim,
+                              width_scale=m.vae_width_scale)
         text_params = jit_init(text_encoder_init, k_text, self.bert_cfg,
                                m.text_embedding_dim)
         if vae_checkpoint_path and Path(vae_checkpoint_path).exists():
@@ -196,7 +197,7 @@ class SDDiffusionTrainer:
 
     # -- jitted fns ----------------------------------------------------------
 
-    def _noise_loss(self, params, frozen_vae, batch, rng):
+    def _noise_loss(self, params, frozen_vae, batch, rng, sample_weights=None):
         # conditioning on the bare description (diffusers_trainer.py:490)
         text_emb = text_encoder_apply(params["text"], batch["desc_ids"],
                                       batch["desc_mask"], self.bert_cfg,
@@ -216,7 +217,7 @@ class SDDiffusionTrainer:
                                 text_emb, self.spec,
                                 text_bias=text_bias_from_mask(batch["desc_mask"]),
                                 dtype=self.compute_dtype)
-        return mse_loss(pred, noise)  # (:406,534)
+        return mse_loss(pred, noise, sample_weights=sample_weights)  # (:406,534)
 
     def _step(self, state: TrainState, frozen_vae, batch):
         rng = jax.random.fold_in(state.rng, state.step)
@@ -230,9 +231,12 @@ class SDDiffusionTrainer:
         return (TrainState(state.step + 1, params, opt_state, state.rng),
                 {"loss": loss, "grad_norm": global_norm(grads)})
 
-    def _eval(self, state: TrainState, frozen_vae, batch):
+    def _eval(self, state: TrainState, frozen_vae, batch, valid):
+        # mask wraparound-padded tail samples so val loss is exact
         rng = jax.random.fold_in(state.rng, jnp.int32(-4))
-        return {"loss": self._noise_loss(state.params, frozen_vae, batch, rng)}
+        w = (jnp.arange(batch["image"].shape[0]) < valid).astype(jnp.float32)
+        return {"loss": self._noise_loss(state.params, frozen_vae, batch, rng,
+                                         sample_weights=w)}
 
     def _sample(self, params, frozen_vae, rng, text_ids, text_mask, *,
                 num: int, steps: int = 50):
@@ -281,7 +285,8 @@ class SDDiffusionTrainer:
         for batch in self.val_loader:
             valid = int(batch["valid"])
             b = {k: batch[k] for k in ("image", "desc_ids", "desc_mask")}
-            parts = self._eval_step(self.state, self.frozen_vae, b)
+            parts = self._eval_step(self.state, self.frozen_vae, b,
+                                    jnp.int32(valid))
             total += float(parts["loss"]) * valid
             n += valid
         val = total / max(n, 1)

@@ -91,12 +91,29 @@ class FinalTrainer:
 
         params = self._load_params(vae_checkpoint_path, diffusion_checkpoint_path)
 
-        # frozen CLIP (converted weights if available, else fixed random)
-        self.clip_cfg = (ClipConfig.tiny_test(self.tokenizer.vocab_size)
-                         if "tiny-test" in cfg.model.bert_model
-                         else ClipConfig.b32()._replace(
-                             text_vocab=self.tokenizer.vocab_size))
-        self.clip_params = self._load_clip()
+        # frozen CLIP: with converted OpenAI weights AND the matching BPE
+        # artifacts, the loss runs the real ViT-B/32 on BPE token ids
+        # (clip_loss.py:22-23,55 semantics); otherwise a fixed-random tower
+        # on the framework's WordPiece ids keeps the objective live offline
+        from psg_tpu.text import ClipBPETokenizer
+
+        self.clip_bpe = ClipBPETokenizer.find()
+        if self.clip_bpe is not None and self._clip_ckpt_path() is not None:
+            self.clip_cfg = ClipConfig.b32()._replace(
+                text_vocab=self.clip_bpe.vocab_size)
+            self.ds.set_clip_tokenizer(self.clip_bpe)
+        else:
+            self.clip_bpe = None
+            self.clip_cfg = (ClipConfig.tiny_test(self.tokenizer.vocab_size)
+                             if "tiny-test" in cfg.model.bert_model
+                             else ClipConfig.b32()._replace(
+                                 text_vocab=self.tokenizer.vocab_size))
+        self.clip_params, clip_pretrained = self._load_clip()
+        self.log.info("weights: clip=%s (text ids: %s)",
+                      "pretrained" if clip_pretrained else "random-init",
+                      "CLIP-BPE" if self.clip_bpe else "WordPiece")
+        self._batch_keys = ("image", "text_ids", "text_mask") + (
+            ("clip_ids", "clip_mask") if self.clip_bpe else ())
 
         # optimizers for both phases
         o = cfg.optimization
@@ -145,9 +162,15 @@ class FinalTrainer:
         key = jax.random.PRNGKey(cfg.seed + 2)
         self.state = TrainState.create(params, self.tx.init(params), key)
         if mesh is not None:
-            from psg_tpu.parallel import replicated
+            # DP over 'data'; with model>1 the wide UNet/VAE kernels (and
+            # Adam moments) shard their channel axis over 'model'
+            from psg_tpu.parallel import replicated, shard_state, unet_tp_rules
 
-            self.state = jax.device_put(self.state, replicated(mesh))
+            self._tp_rule = None
+            if mesh.shape.get("model", 1) > 1:
+                self._tp_rule = unet_tp_rules(int((cfg.extra or {}).get(
+                    "tp_min_channels", 640)))
+            self.state = shard_state(self.state, mesh, self._tp_rule)
             self.clip_params = jax.device_put(self.clip_params, replicated(mesh))
         self.start_epoch = 0
         self.best_val = float("inf")
@@ -168,7 +191,8 @@ class FinalTrainer:
         k_vae, k_text, k_unet, _ = jax.random.split(key, 4)
         vae_tmpl = {
             "vae": jit_init(vae_init, k_vae, self.cfg.model.latent_dim,
-                            self.cfg.model.text_embedding_dim),
+                            self.cfg.model.text_embedding_dim,
+                            width_scale=self.cfg.model.vae_width_scale),
             "text": jit_init(text_encoder_init, k_text, self.bert_cfg,
                              self.cfg.model.text_embedding_dim),
         }
@@ -189,16 +213,21 @@ class FinalTrainer:
                              str(diff_path))
         return {"vae": vae_tmpl["vae"], "text": vae_tmpl["text"], "unet": unet_tmpl}
 
-    def _load_clip(self):
+    @staticmethod
+    def _clip_ckpt_path():
         import os
 
-        path = os.environ.get("PSG_TPU_CLIP", "weights/clip_vit_b32.ckpt")
+        p = Path(os.environ.get("PSG_TPU_CLIP", "weights/clip_vit_b32.ckpt"))
+        return p if p.exists() else None
+
+    def _load_clip(self):
         from psg_tpu.core.initutil import jit_init
 
-        if Path(path).exists():
+        path = self._clip_ckpt_path()
+        if path is not None:
             return load_state(
-                path, jit_init(clip_init, jax.random.PRNGKey(0), self.clip_cfg))
-        return jit_init(clip_init, jax.random.PRNGKey(4321), self.clip_cfg)
+                path, jit_init(clip_init, jax.random.PRNGKey(0), self.clip_cfg)), True
+        return jit_init(clip_init, jax.random.PRNGKey(4321), self.clip_cfg), False
 
     # -- jitted fns --------------------------------------------------------------
 
@@ -218,14 +247,17 @@ class FinalTrainer:
                            dtype=self.compute_dtype)
         return recon
 
-    def _loss(self, params, clip_params, batch, rng):
+    def _loss(self, params, clip_params, batch, rng, sample_weights=None):
         recon = self._roundtrip(params, batch, rng)
-        l1 = l1_loss(recon, batch["image"])
-        mse = mse_loss(recon, batch["image"])
+        l1 = l1_loss(recon, batch["image"], sample_weights=sample_weights)
+        mse = mse_loss(recon, batch["image"], sample_weights=sample_weights)
         gen_loss = l1 + 0.1 * mse  # (:425-440)
-        clip = clip_alignment_loss(clip_params, recon, batch["text_ids"],
-                                   batch["text_mask"], self.clip_cfg,
-                                   dtype=self.compute_dtype)
+        # BPE ids for a pretrained CLIP tower; WordPiece ids otherwise
+        clip = clip_alignment_loss(clip_params, recon,
+                                   batch.get("clip_ids", batch["text_ids"]),
+                                   batch.get("clip_mask", batch["text_mask"]),
+                                   self.clip_cfg, dtype=self.compute_dtype,
+                                   sample_weights=sample_weights)
         total = gen_loss + self.cfg.training.clip_weight * clip
         return total, {"total_loss": total, "l1_loss": l1, "mse_loss": mse,
                        "clip_loss": clip}
@@ -246,9 +278,12 @@ class FinalTrainer:
         parts["grad_norm"] = global_norm(grads)
         return TrainState(state.step + 1, params, opt_state, state.rng), parts
 
-    def _eval(self, state: TrainState, clip_params, batch):
+    def _eval(self, state: TrainState, clip_params, batch, valid):
+        # mask wraparound-padded tail samples so val loss is exact
         rng = jax.random.fold_in(state.rng, jnp.int32(-3))
-        _, parts = self._loss(state.params, clip_params, batch, rng)
+        w = (jnp.arange(batch["image"].shape[0]) < valid).astype(jnp.float32)
+        _, parts = self._loss(state.params, clip_params, batch, rng,
+                              sample_weights=w)
         return parts
 
     def _sample(self, params, rng, text_ids, text_mask, *, num: int,
@@ -290,7 +325,7 @@ class FinalTrainer:
         sums: Dict[str, float] = {}
         count = 0
         for batch in self.train_loader:
-            b = {k: batch[k] for k in ("image", "text_ids", "text_mask")}
+            b = {k: batch[k] for k in self._batch_keys if k in batch}
             if self.mesh is not None:
                 from psg_tpu.parallel import shard_batch
 
@@ -314,12 +349,13 @@ class FinalTrainer:
         total, n = 0.0, 0
         for batch in self.val_loader:
             valid = int(batch["valid"])
-            b = {k: batch[k] for k in ("image", "text_ids", "text_mask")}
+            b = {k: batch[k] for k in self._batch_keys if k in batch}
             if self.mesh is not None:
                 from psg_tpu.parallel import shard_batch
 
                 b = shard_batch(b, self.mesh)
-            parts = self._eval_step(self.state, self.clip_params, b)
+            parts = self._eval_step(self.state, self.clip_params, b,
+                                    jnp.int32(valid))
             total += float(parts["total_loss"]) * valid
             n += valid
         val = total / max(n, 1)

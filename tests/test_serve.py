@@ -17,6 +17,7 @@ needs_data = pytest.mark.skipif(not CSV.exists(), reason="reference dataset not 
 def _tiny_cfg() -> Config:
     cfg = Config()
     cfg.model.bert_model = "tiny-test"
+    cfg.model.vae_width_scale = 0.25
     cfg.model.text_embedding_dim = 48
     cfg.model.unet_channels = (16, 24, 32, 32)
     cfg.model.num_attention_heads = 4

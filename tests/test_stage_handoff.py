@@ -20,6 +20,7 @@ def _tiny_cfg(tmp) -> Config:
     cfg = Config()
     cfg.experiment_dir = str(tmp)
     cfg.model.bert_model = "tiny-test"
+    cfg.model.vae_width_scale = 0.25
     cfg.model.text_embedding_dim = 48
     cfg.model.unet_channels = (16, 24, 32, 32)
     cfg.model.num_attention_heads = 4

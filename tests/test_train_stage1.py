@@ -28,6 +28,7 @@ def trainer(tmp_path_factory):
     cfg = Config()
     cfg.experiment_dir = str(tmp)
     cfg.model.bert_model = "tiny-test"
+    cfg.model.vae_width_scale = 0.25
     cfg.model.text_embedding_dim = 48
     cfg.data.csv_path = str(CSV)
     cfg.data.image_dir = str(IMAGES)

@@ -16,6 +16,7 @@ def _tiny_cfg(tmp) -> Config:
     cfg = Config()
     cfg.experiment_dir = str(tmp)
     cfg.model.bert_model = "tiny-test"
+    cfg.model.vae_width_scale = 0.25
     cfg.model.text_embedding_dim = 48
     cfg.model.cross_attention_dim = 48  # match -> no projection branch
     cfg.model.num_timesteps = 50
