@@ -41,32 +41,51 @@ def _init_latent(key, shape, initial_latent):
 
 
 def ddpm_sample(denoise_fn: Callable, schedule: DiffusionSchedule, key,
-                shape=None, initial_latent=None, num_timesteps: Optional[int] = None):
-    """Canonical ancestral DDPM (posterior-variance sampler).
+                shape=None, initial_latent=None,
+                num_timesteps: Optional[int] = None,
+                num_inference_steps: Optional[int] = None,
+                noises=None):
+    """Posterior-variance DDPM, exactly FinalPokemonGenerator.forward
+    (final_trainer.py:186-204):
 
-    x_{t-1} = 1/sqrt(a_t) (x_t - b_t/sqrt(1-acp_t) eps) + sqrt(postvar_t) z
+    - timesteps t_i = max(0, T-1 - i*(T//steps)) for i in range(steps);
+    - t > 0:  x_{t-1} = 1/sqrt(a_t) (x_t - b_t/sqrt(1-acp_t) eps)
+                        + sqrt(postvar_t) z   (sample_previous_timestep,
+                        final_trainer.py:52-71)
+    - t == 0: x = x - eps                      (final_trainer.py:202-204)
+
+    ``num_timesteps`` is a bench-only alias for num_inference_steps.
+    ``noises`` ([steps, *x.shape]) injects the per-step gaussians (parity
+    harness); default draws from ``key``.
     """
-    T = num_timesteps or schedule.num_timesteps
+    T = schedule.num_timesteps
+    steps = num_inference_steps or num_timesteps or T
+    stride = max(1, T // steps)
     key, kinit = jax.random.split(key)
     x = _init_latent(kinit, shape, initial_latent)
     b = x.shape[0]
 
-    ts = jnp.arange(T - 1, -1, -1)
+    ts = jnp.maximum(T - 1 - jnp.arange(steps) * stride, 0)
     tables = (
         ts,
         schedule.sqrt_recip_alphas[ts],
         schedule.betas[ts] / schedule.sqrt_one_minus_alphas_cumprod[ts],
         jnp.sqrt(schedule.posterior_variance[ts]),
     )
+    if noises is not None:
+        tables = tables + (noises.astype(jnp.float32),)
 
     def body(carry, tab):
         x, k = carry
-        t, sra, coeff, sigma = tab
-        k, kn = jax.random.split(k)
+        if noises is not None:
+            t, sra, coeff, sigma, noise = tab
+        else:
+            t, sra, coeff, sigma = tab
+            k, kn = jax.random.split(k)
+            noise = jax.random.normal(kn, x.shape, jnp.float32)
         eps = denoise_fn(x, jnp.full((b,), t, jnp.int32)).astype(jnp.float32)
         mean = sra * (x - coeff * eps)
-        noise = jax.random.normal(kn, x.shape, jnp.float32)
-        x = mean + jnp.where(t > 0, sigma, 0.0) * noise
+        x = jnp.where(t > 0, mean + sigma * noise, x - eps)
         return (x, k), None
 
     (x, _), _ = lax.scan(body, (x, key), tables)
@@ -163,13 +182,14 @@ def ddpm_sample_x0(denoise_fn: Callable, schedule: DiffusionSchedule, key,
 
 def ddpm_sample_renoise(denoise_fn: Callable, schedule: DiffusionSchedule, key,
                         shape=None, initial_latent=None,
-                        num_inference_steps: int = 50):
+                        num_inference_steps: int = 50, noises=None):
     """The serving-path sampler (gradio_app.py:297-361).
 
     timesteps = linspace(T-1, 0, steps); at each step denoise fully with the
     single-step alpha, then (except the last step) re-noise toward the NEXT
     timestep using sqrt(alpha_{t_next}) / sqrt(1 - alpha_{t_next}) —
     a nonstandard but behaviorally pinned variant, kept for serving parity.
+    ``noises`` ([steps, *x.shape]) injects the per-step gaussians.
     """
     T = schedule.num_timesteps
     key, kinit = jax.random.split(key)
@@ -191,14 +211,19 @@ def ddpm_sample_renoise(denoise_fn: Callable, schedule: DiffusionSchedule, key,
         next_ts,
         is_last,
     )
+    if noises is not None:
+        tables = tables + (noises.astype(jnp.float32),)
 
     def body(carry, tab):
         x, k = carry
-        t, coeff, r_alpha, s_an, s_oman, t_next, last = tab
-        k, kn = jax.random.split(k)
+        if noises is not None:
+            t, coeff, r_alpha, s_an, s_oman, t_next, last, noise = tab
+        else:
+            t, coeff, r_alpha, s_an, s_oman, t_next, last = tab
+            k, kn = jax.random.split(k)
+            noise = jax.random.normal(kn, x.shape, jnp.float32)
         eps = denoise_fn(x, jnp.full((b,), t, jnp.int32)).astype(jnp.float32)
         denoised = (x - coeff * eps) * r_alpha
-        noise = jax.random.normal(kn, x.shape, jnp.float32)
         renoised = s_an * denoised + s_oman * noise
         do_renoise = jnp.logical_and(jnp.logical_not(last), t_next > 0)
         x = jnp.where(do_renoise, renoised, denoised)

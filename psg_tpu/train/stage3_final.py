@@ -299,10 +299,11 @@ class FinalTrainer:
                               dtype=self.compute_dtype)
 
         shape = (num, self.latent_size, self.latent_size, self.cfg.model.latent_dim)
-        from psg_tpu.diffusion.sampling import ddpm_sample_x0
-
-        latents = ddpm_sample_x0(denoise, self.schedule, rng, shape=shape,
-                                 num_inference_steps=steps)
+        # strided eps-form posterior sampler — exactly
+        # FinalPokemonGenerator.forward (final_trainer.py:186-204); the x0
+        # form belongs to the diffusers trainer only
+        latents = ddpm_sample(denoise, self.schedule, rng, shape=shape,
+                              num_inference_steps=steps)
         return vae_decode(params["vae"], latents.astype(text_emb.dtype), text_emb,
                           text_bias=text_bias_from_mask(text_mask),
                           image_size=self.cfg.data.image_size,

@@ -97,3 +97,57 @@ def test_batched_serving_on_mesh():
     imgs = gen.generate_batch(["creature"] * 16, num_inference_steps=2, seed=0)
     assert imgs.shape == (16, 64, 64, 3)
     assert np.isfinite(imgs).all()
+
+
+def test_gradio_interface_wiring(monkeypatch):
+    """UI smoke with a stubbed gradio module: both tabs' click handlers are
+    wired and route to the generator API (gradio_app.py:468-667 analog —
+    the reference UI itself is untestable headless; this pins our wiring)."""
+    import sys
+    import types
+
+    calls = []
+
+    class _Ctx:
+        def __init__(self, *a, **k):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _Widget:
+        def __init__(self, *a, **k):
+            pass
+
+    class _Button(_Widget):
+        def click(self, fn, inputs, outputs):
+            calls.append(fn)
+
+    gr = types.ModuleType("gradio")
+    gr.Blocks = _Ctx
+    gr.Tab = _Ctx
+    gr.Markdown = _Widget
+    gr.Textbox = _Widget
+    gr.Slider = _Widget
+    gr.Number = _Widget
+    gr.Button = _Button
+    gr.Image = _Widget
+    monkeypatch.setitem(sys.modules, "gradio", gr)
+
+    class FakeGen:
+        def generate_from_text(self, d, steps, seed):
+            return ("text", d, steps, seed)
+
+        def generate_from_image_and_text(self, img, d, steps, ns, seed):
+            return ("img", img, d, steps, ns, seed)
+
+    from psg_tpu.serve.app import create_gradio_interface
+
+    demo = create_gradio_interface(FakeGen())
+    assert demo is not None
+    assert len(calls) == 2  # one handler per tab
+    assert calls[0]("a creature", 50, 42) == ("text", "a creature", 50, 42)
+    assert calls[1]("IMG", "desc", 30, 0.7, 1) == ("img", "IMG", "desc", 30, 0.7, 1)
