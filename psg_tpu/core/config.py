@@ -117,6 +117,10 @@ class TrainingConfig:
     log_every: int = 5
     save_every: int = 20
     sample_every: int = 15
+    # Best-checkpoint writes compete only every N epochs (full-size states
+    # are ~8GB; on a tunneled device each write costs minutes, so long runs
+    # throttle them).  1 = reference behavior (every improvement writes).
+    best_every: int = 1
 
 
 @dataclass

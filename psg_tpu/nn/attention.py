@@ -121,6 +121,23 @@ def spatial_cross_attention_init(key, channels: int, text_dim: int,
     }
 
 
+def _use_fused_spatial(l: int, c: int, num_heads: int) -> bool:
+    """Fused Pallas path for the big pixel-query sites (108^2/215^2, where
+    XLA's HBM-resident score tensors cost 2.7-12 ms, scripts/profile_vae.py);
+    small sites stay on XLA which fuses them well enough."""
+    import os
+
+    force = os.environ.get("PSG_TPU_SPATIAL_ATTN", "").lower()
+    if force == "xla":
+        return False
+    import jax as _jax
+
+    on_tpu = _jax.default_backend() == "tpu"
+    if force == "pallas":
+        return on_tpu
+    return on_tpu and l >= 4096 and c % num_heads == 0
+
+
 def spatial_cross_attention(params, x, text_emb, num_heads: int = 8, *,
                             text_bias=None, dtype=None,
                             compat_reshape: bool = False):
@@ -140,10 +157,25 @@ def spatial_cross_attention(params, x, text_emb, num_heads: int = 8, *,
     # GroupNorm(32) at reference widths; divisor rule for scaled widths
     xn = group_norm(params["norm"], x, num_groups=largest_group_count(c),
                     eps=1e-5)
-    q = conv2d(params["q"], xn, stride=1, padding=0, dtype=dtype)  # [B,H,W,C]
     k = linear(params["k"], text_emb, dtype=dtype)  # [B,S,C]
     v = linear(params["v"], text_emb, dtype=dtype)
 
+    if _use_fused_spatial(h * w, c, num_heads):
+        from psg_tpu.ops.spatial_xattn import fused_spatial_xattn
+
+        wq = params["q"]["w"].reshape(c, c)
+        wp = params["proj"]["w"].reshape(c, c)
+        if dtype is not None:
+            xn = xn.astype(dtype)
+            wq, wp = wq.astype(dtype), wp.astype(dtype)
+        out = fused_spatial_xattn(
+            xn.reshape(b, h * w, c), residual.reshape(b, h * w, c),
+            k, v, wq, params["q"]["b"], wp, params["proj"]["b"],
+            num_heads=num_heads, text_bias=text_bias,
+            compat_reshape=compat_reshape)
+        return out.reshape(b, h, w, c)
+
+    q = conv2d(params["q"], xn, stride=1, padding=0, dtype=dtype)  # [B,H,W,C]
     q = q.reshape(b, h * w, num_heads, hd).transpose(0, 2, 1, 3)  # [B,Hd,L,D]
 
     if compat_reshape:

@@ -360,7 +360,11 @@ class VAETrainer:
                         captions=descs)
 
     def save_checkpoint(self, epoch: int, val_loss: float) -> bool:
-        return self.ckpt.save(self.state, int(self.state.step), val_loss,
+        tr = self.cfg.training
+        allow_best = ((epoch + 1) % max(tr.best_every, 1) == 0
+                      or epoch + 1 == tr.vae_epochs)
+        return self.ckpt.save(self.state, int(self.state.step),
+                              val_loss if allow_best else None,
                               extra_meta={"epoch": epoch,
                                           "config": self.cfg.to_dict()},
                               periodic=((epoch + 1) % self.cfg.training.save_every == 0))

@@ -37,12 +37,15 @@ def test_ddpm_sample_matches_python_loop():
     for t in range(T - 1, -1, -1):
         k, kn = jax.random.split(k)
         eps = _denoise(x, jnp.full((SHAPE[0],), t, jnp.int32))
-        sra = sched.sqrt_recip_alphas[t]
-        coeff = sched.betas[t] / sched.sqrt_one_minus_alphas_cumprod[t]
-        mean = sra * (x - coeff * eps)  # final_trainer.py:63-65
         noise = jax.random.normal(kn, x.shape, jnp.float32)
-        sigma = jnp.sqrt(sched.posterior_variance[t])  # :67-70
-        x = mean + (sigma if t > 0 else 0.0) * noise
+        if t > 0:
+            sra = sched.sqrt_recip_alphas[t]
+            coeff = sched.betas[t] / sched.sqrt_one_minus_alphas_cumprod[t]
+            mean = sra * (x - coeff * eps)  # final_trainer.py:63-65
+            sigma = jnp.sqrt(sched.posterior_variance[t])  # :67-70
+            x = mean + sigma * noise
+        else:
+            x = x - eps  # final_trainer.py:202-204
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=1e-5,
                                atol=1e-6)
