@@ -29,6 +29,19 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """``slow``-marked tests (the most compile-heavy e2e paths) run only
+    with PSG_TPU_RUN_SLOW=1 or an explicit ``-m slow`` — the fast default
+    keeps the suite under the single-CPU host's patience (VERDICT r1 #7).
+    Full coverage: PSG_TPU_RUN_SLOW=1 python -m pytest tests/ -q."""
+    if os.environ.get("PSG_TPU_RUN_SLOW") or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(reason="slow; set PSG_TPU_RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def rng_key():
     import jax

@@ -40,6 +40,7 @@ def _tiny_cfg(tmp) -> Config:
 
 
 @needs_data
+@pytest.mark.slow
 def test_stage1_to_stage2_to_serve_handoff(tmp_path):
     from psg_tpu.train.stage1_vae import VAETrainer
     from psg_tpu.train.stage2_diffusion import DiffusionTrainer

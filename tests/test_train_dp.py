@@ -36,6 +36,7 @@ def _tiny_cfg(tmp) -> Config:
 
 
 @needs_data
+@pytest.mark.slow
 def test_dp_training_runs_on_mesh(tmp_path):
     from psg_tpu.train.stage2_diffusion import DiffusionTrainer
 

@@ -52,6 +52,7 @@ def test_latent_size_derived(trainer):
 
 
 @needs_data
+@pytest.mark.slow
 def test_train_loop_runs_and_checkpoints(trainer):
     best = trainer.train()
     assert best.exists()
@@ -79,6 +80,8 @@ def test_step_updates_params_and_is_finite(trainer):
 def test_checkpoint_roundtrip(trainer):
     from psg_tpu.core.checkpoint import load_state
 
+    if not trainer.ckpt.best_path.exists():  # train() test may be slow-skipped
+        trainer.save_checkpoint(0, 1.0)
     restored = load_state(trainer.ckpt.best_path, trainer.state)
     w0 = np.asarray(restored.params["vae"]["encoder"]["mu"]["w"])
     assert w0.shape == trainer.state.params["vae"]["encoder"]["mu"]["w"].shape

@@ -66,6 +66,7 @@ def test_spec_from_config(trainer):
 
 
 @needs_data
+@pytest.mark.slow
 def test_train_and_sample(trainer):
     best = trainer.train()
     assert best.exists()

@@ -54,6 +54,7 @@ def test_spec_and_adapted_channels(trainer):
 
 
 @needs_data
+@pytest.mark.slow
 def test_train_and_sample(trainer):
     text_before = np.asarray(trainer.state.params["text"]["ln"]["scale"])
     best = trainer.train()

@@ -54,6 +54,7 @@ def trainer(tmp_path_factory):
 
 
 @needs_data
+@pytest.mark.slow
 def test_phase_switch_and_training(trainer):
     assert trainer.phase == "text_encoder"
     vae_dec_before = np.asarray(
@@ -84,13 +85,15 @@ def test_frozen_encoder_never_moves(trainer):
 
     k_vae = jax.random.split(jax.random.PRNGKey(cfg.seed), 4)[0]
     init_vae = jit_init(vae_init, k_vae, cfg.model.latent_dim,
-                        cfg.model.text_embedding_dim)
+                        cfg.model.text_embedding_dim,
+                        width_scale=cfg.model.vae_width_scale)
     np.testing.assert_array_equal(
         np.asarray(init_vae["encoder"]["mu"]["w"]),
         np.asarray(trainer.state.params["vae"]["encoder"]["mu"]["w"]))
 
 
 @needs_data
+@pytest.mark.slow
 def test_sampling_chain(trainer):
     trainer.generate_samples(epoch=99, num=2, steps=5)
     assert (trainer.stage_dir / "samples" / "final_epoch_0099.png").exists()
