@@ -116,3 +116,32 @@ def test_throughput():
     t.step(5)
     time.sleep(0.01)
     assert t.batches_per_hour() > 0
+
+
+def test_async_checkpoint_write(tmp_path):
+    """Async writes land atomically and restore() waits for them
+    (VERDICT r1 weak #8: synchronous multi-GB writes stalled epochs)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from psg_tpu.core.checkpoint import (
+        CheckpointManager,
+        load_state,
+        wait_for_writes,
+    )
+
+    state = {"w": jnp.arange(1000, dtype=jnp.float32), "n": jnp.int32(7)}
+    ckpt = CheckpointManager(tmp_path, "t", async_writes=True)
+    assert ckpt.save(state, step=1, metric=0.5)
+    wait_for_writes()
+    assert ckpt.best_path.exists()
+    restored = load_state(ckpt.best_path, {"w": jnp.zeros(1000), "n": jnp.int32(0)})
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.asarray(state["w"]))
+
+    # second save supersedes the first; restore() joins in-flight writes
+    state2 = {"w": state["w"] * 2, "n": jnp.int32(8)}
+    ckpt.save(state2, step=2, metric=0.25)
+    got, meta = ckpt.restore({"w": jnp.zeros(1000), "n": jnp.int32(0)})
+    np.testing.assert_array_equal(np.asarray(got["w"]), np.asarray(state2["w"]))
+    assert meta["metric"] == 0.25
