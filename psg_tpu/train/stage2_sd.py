@@ -81,8 +81,9 @@ class SDDiffusionTrainer:
     STAGE = "diffusers"
 
     def __init__(self, cfg: Config, vae_checkpoint_path,
-                 experiment_name: str = "pokemon"):
+                 experiment_name: str = "pokemon", mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
         self.stage_dir = Path(cfg.experiment_dir) / f"{experiment_name}_diffusers"
         self.ckpt = CheckpointManager(self.stage_dir / "checkpoints", self.STAGE)
         self.log = setup_logging(self.stage_dir / "logs", self.STAGE)
@@ -169,6 +170,17 @@ class SDDiffusionTrainer:
             {"sd": sd_labels, "text": text_labels},
         )
         self.state = TrainState.create(params, self.tx.init(params), k_state)
+        if mesh is not None:
+            # DP over 'data'; with model>1 the wide SD-UNet kernels (and
+            # Adam moments) shard their channel axis over 'model'
+            from psg_tpu.parallel import replicated, shard_state, unet_tp_rules
+
+            rule = None
+            if mesh.shape.get("model", 1) > 1:
+                rule = unet_tp_rules(int((cfg.extra or {}).get(
+                    "tp_min_channels", 640)))
+            self.state = shard_state(self.state, mesh, rule)
+            self.frozen_vae = jax.device_put(self.frozen_vae, replicated(mesh))
         self.start_epoch = 0
         self.best_val = float("inf")
 
@@ -264,6 +276,10 @@ class SDDiffusionTrainer:
         thr = Throughput()
         for batch in self.train_loader:
             b = {k: batch[k] for k in ("image", "desc_ids", "desc_mask")}
+            if self.mesh is not None:
+                from psg_tpu.parallel import shard_batch
+
+                b = shard_batch(b, self.mesh)
             self.state, parts = self._train_step(self.state, self.frozen_vae, b)
             count += 1
             thr.step()
@@ -285,6 +301,10 @@ class SDDiffusionTrainer:
         for batch in self.val_loader:
             valid = int(batch["valid"])
             b = {k: batch[k] for k in ("image", "desc_ids", "desc_mask")}
+            if self.mesh is not None:
+                from psg_tpu.parallel import shard_batch
+
+                b = shard_batch(b, self.mesh)
             parts = self._eval_step(self.state, self.frozen_vae, b,
                                     jnp.int32(valid))
             total += float(parts["loss"]) * valid

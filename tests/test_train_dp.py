@@ -95,3 +95,24 @@ def test_stage1_dp_step_on_mesh(tmp_path):
     state2, parts = t._train_step(t.state, t.vgg_params, b, jnp.float32(0.001))
     assert np.isfinite(float(parts["total_loss"]))
     assert state2.params["vae"]["encoder"]["mu"]["w"].sharding.is_fully_replicated
+
+
+@pytest.mark.slow
+def test_sd_trainer_dp_on_mesh(tmp_path):
+    """SDDiffusionTrainer accepts a mesh: DP batches shard over 'data'
+    and one train step runs (parity with the other stage trainers)."""
+    from psg_tpu.parallel import make_mesh
+    from psg_tpu.train.stage2_sd import SDDiffusionTrainer
+
+    cfg = _tiny_cfg(tmp_path)
+    mesh = make_mesh()
+    t = SDDiffusionTrainer(cfg, vae_checkpoint_path=None,
+                           experiment_name="sdp", mesh=mesh)
+    t.train_loader.indices = t.train_loader.indices[:8]
+    batch = next(iter(t.train_loader))
+    from psg_tpu.parallel import shard_batch
+
+    b = shard_batch({k: batch[k] for k in ("image", "desc_ids", "desc_mask")},
+                    mesh)
+    state2, parts = t._train_step(t.state, t.frozen_vae, b)
+    assert np.isfinite(float(parts["loss"]))
