@@ -131,6 +131,11 @@ class OptimizationConfig:
     weight_decay: float = 0.01
     max_grad_norm: float = 1.0
     text_max_grad_norm: float = 0.5  # (reference: vae_trainer.py:341-342)
+    # Reject (zero) updates whose RAW grad norm exceeds this — the
+    # finite-magnitude sibling of the NaN skip; None disables. A clipped
+    # explosion burst was measured to collapse the UNet (see
+    # train/optim.py:skip_above_global_norm).
+    skip_grad_norm: Optional[float] = None
     use_mixed_precision: bool = False
     scheduler: str = "constant"  # constant | cosine | step
     beta1: float = 0.9

@@ -379,5 +379,13 @@ class DiffusionTrainer:
                 "epoch %d done in %.1fs: train %.4f val %.4f skipped %d",
                 epoch, time.time() - t0, stats.get("loss", 0.0), val_loss,
                 self.skipped_batches())
+        # final-state periodic write regardless of cadence: long runs on
+        # this host must restart in chunks (the tunnel client leaks host
+        # memory per call), and a chunk must never end without a resume point
+        if epochs > self.start_epoch:
+            self.ckpt.save(self.state, int(self.state.step), None,
+                           extra_meta={"epoch": epochs - 1,
+                                       "config": self.cfg.to_dict()},
+                           periodic=True)
         self.metrics.flush()
         return self.ckpt.best_path

@@ -145,3 +145,26 @@ def test_async_checkpoint_write(tmp_path):
     got, meta = ckpt.restore({"w": jnp.zeros(1000), "n": jnp.int32(0)})
     np.testing.assert_array_equal(np.asarray(got["w"]), np.asarray(state2["w"]))
     assert meta["metric"] == 0.25
+
+
+def test_skip_above_global_norm_guard():
+    """Explosive-gradient steps are zeroed entirely (not just clipped);
+    normal steps pass through; the skip counter increments."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from psg_tpu.train.optim import skip_above_global_norm
+
+    tx = skip_above_global_norm(0.5)
+    params = {"w": jnp.zeros(3)}
+    state = tx.init(params)
+
+    small = {"w": jnp.array([0.1, 0.1, 0.1])}
+    out, state = tx.update(small, state)
+    np.testing.assert_allclose(np.asarray(out["w"]), np.asarray(small["w"]))
+    assert int(state["skipped"]) == 0
+
+    big = {"w": jnp.array([10.0, 0.0, 0.0])}
+    out, state = tx.update(big, state)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.0)
+    assert int(state["skipped"]) == 1
