@@ -231,11 +231,15 @@ def main() -> int:
     steps_per_sec = n_steps / dt
     sprites_per_min_1000 = batch * 60.0 / (1000.0 / steps_per_sec)
 
-    # roofline: XLA's own FLOP count for the chain / measured time vs the
-    # chip's bf16 peak — the regressions-and-headroom line (VERDICT r1 #1)
+    # roofline: XLA's own FLOP count vs the chip's bf16 peak — the
+    # regressions-and-headroom line (VERDICT r1 #1).  NOTE: XLA cost
+    # analysis counts a scan/while body ONCE, so chain_flops is the
+    # PER-STEP figure (cross-checked against scripts/profile_denoise.py's
+    # unscanned forward: 320 GFLOP at batch 4).
     device = str(jax.devices()[0])
     peak = _peak_tflops(device)
-    achieved_tflops = chain_flops / dt / 1e12 if chain_flops else None
+    per_step_dt = dt / n_steps
+    achieved_tflops = chain_flops / per_step_dt / 1e12 if chain_flops else None
     mfu = (round(achieved_tflops / peak, 4)
            if achieved_tflops is not None and peak else None)
 
@@ -249,7 +253,7 @@ def main() -> int:
             "chain_steps": n_steps,
             "seconds_per_chain": round(dt, 3),
             "sprites_per_min_at_1000_steps": round(sprites_per_min_1000, 2),
-            "gflop_per_step": round(chain_flops / n_steps / 1e9, 1)
+            "gflop_per_step": round(chain_flops / 1e9, 1)
             if chain_flops else None,
             "achieved_tflops": round(achieved_tflops, 1)
             if achieved_tflops else None,

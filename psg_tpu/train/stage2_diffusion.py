@@ -356,8 +356,21 @@ class DiffusionTrainer:
         if path is None:
             self.state, meta = self.ckpt.restore(self.state, best=True)
         else:
-            self.state = load_state(path, self.state)
             meta = load_metadata(path)
+            try:
+                self.state = load_state(path, self.state)
+            except Exception as e:  # optimizer-chain shape changed between
+                # runs (e.g. a new transform like skip_grad_norm): restore
+                # params + step, rebuild fresh optimizer state (Adam
+                # moments re-warm within a few hundred steps)
+                self.log.warning(
+                    "strict restore failed (%s) — params-only restore", e)
+                from psg_tpu.core.checkpoint import load_params
+
+                params = load_params(path, self.state.params)
+                self.state = TrainState(
+                    jnp.asarray(int(meta.get("step", 0)), jnp.int32), params,
+                    self.tx.init(params), self.state.rng)
         self.start_epoch = int(meta.get("epoch", -1)) + 1
         self.best_val = float(meta.get("metric", float("inf")))
 
