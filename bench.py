@@ -181,9 +181,10 @@ def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "serve":
         return serve_bench(int(sys.argv[2]) if len(sys.argv) > 2 else 50)
 
-    # default batch 4 = the reference's shipped training/serving batch
-    # (config/train_config.yaml:27)
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    # default: sweep batches 4/8/16 (VERDICT r2 #6 — the batch-4 headline
+    # sits at the compute/bandwidth crossover; the sweep puts the chip's
+    # real ceiling on record).  `python bench.py B` pins one batch.
+    batches = [int(sys.argv[1])] if len(sys.argv) > 1 else [4, 8, 16]
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 100
 
     spec = UNetSpec(text_dim=768, num_heads=4)
@@ -198,66 +199,72 @@ def main() -> int:
     )(key)
     jax.block_until_ready(params)
     schedule = make_schedule(1000, 1e-4, 0.02, "cosine")
-
-    text_emb = jax.random.normal(key, (batch, 128, 768), jnp.float32)
-    text_mask = jnp.ones((batch, 128), jnp.int32)
-    shape = (batch, 27, 27, 8)
-
-    # params/text are jit ARGUMENTS (closing over them would bake 2.6GB of
-    # weights into the executable as constants)
-    @jax.jit
-    def run_chain(p, emb, mask, rng):
-        def denoise(x, t):
-            return unet_apply(p, x, t, emb, spec, text_mask=mask,
-                              dtype=jnp.bfloat16)
-
-        return ddpm_sample(denoise, schedule, rng, shape=shape,
-                           num_timesteps=n_steps)
-
-    # warmup / compile; keep the executable for its XLA FLOP count (MFU)
-    example = (params, text_emb, text_mask, jax.random.PRNGKey(1))
-    compiled = run_chain.lower(*example).compile()
-    chain_flops = _flops_of(compiled)
-    out = run_chain(*example)
-    out.block_until_ready()
-
-    t0 = time.perf_counter()
-    reps = 3
-    for i in range(reps):
-        out = run_chain(params, text_emb, text_mask, jax.random.PRNGKey(2 + i))
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-
-    steps_per_sec = n_steps / dt
-    sprites_per_min_1000 = batch * 60.0 / (1000.0 / steps_per_sec)
-
-    # roofline: XLA's own FLOP count vs the chip's bf16 peak — the
-    # regressions-and-headroom line (VERDICT r1 #1).  NOTE: XLA cost
-    # analysis counts a scan/while body ONCE, so chain_flops is the
-    # PER-STEP figure (cross-checked against scripts/profile_denoise.py's
-    # unscanned forward: 320 GFLOP at batch 4).
     device = str(jax.devices()[0])
     peak = _peak_tflops(device)
-    per_step_dt = dt / n_steps
-    achieved_tflops = chain_flops / per_step_dt / 1e12 if chain_flops else None
-    mfu = (round(achieved_tflops / peak, 4)
-           if achieved_tflops is not None and peak else None)
+
+    def measure(batch):
+        text_emb = jax.random.normal(key, (batch, 128, 768), jnp.float32)
+        text_mask = jnp.ones((batch, 128), jnp.int32)
+        shape = (batch, 27, 27, 8)
+
+        # params/text are jit ARGUMENTS (closing over them would bake
+        # 2.6GB of weights into the executable as constants)
+        @jax.jit
+        def run_chain(p, emb, mask, rng):
+            def denoise(x, t):
+                return unet_apply(p, x, t, emb, spec, text_mask=mask,
+                                  dtype=jnp.bfloat16)
+
+            return ddpm_sample(denoise, schedule, rng, shape=shape,
+                               num_timesteps=n_steps)
+
+        # warmup/compile; keep the executable for its XLA FLOP count (MFU)
+        example = (params, text_emb, text_mask, jax.random.PRNGKey(1))
+        compiled = run_chain.lower(*example).compile()
+        chain_flops = _flops_of(compiled)
+        out = run_chain(*example)
+        out.block_until_ready()
+
+        t0 = time.perf_counter()
+        reps = 3
+        for i in range(reps):
+            out = run_chain(params, text_emb, text_mask,
+                            jax.random.PRNGKey(2 + i))
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / reps
+
+        steps_per_sec = n_steps / dt
+        # roofline: XLA's own FLOP count vs the chip's bf16 peak.  NOTE:
+        # XLA cost analysis counts a scan/while body ONCE, so chain_flops
+        # is the PER-STEP figure (cross-checked against
+        # scripts/profile_denoise.py's unscanned forward: 320 GFLOP @ b4).
+        per_step_dt = dt / n_steps
+        achieved = chain_flops / per_step_dt / 1e12 if chain_flops else None
+        return {
+            "steps_per_sec": round(steps_per_sec, 2),
+            "seconds_per_chain": round(dt, 3),
+            "sprites_per_min_at_1000_steps": round(
+                batch * 60.0 / (1000.0 / steps_per_sec), 2),
+            "gflop_per_step": round(chain_flops / 1e9, 1)
+            if chain_flops else None,
+            "achieved_tflops": round(achieved, 1) if achieved else None,
+            "mfu": round(achieved / peak, 4) if achieved and peak else None,
+        }
+
+    rows = {b: measure(b) for b in batches}
+    headline_batch = batches[0]
+    headline = rows[headline_batch]
 
     print(json.dumps({
         "metric": "unet_denoise_steps_per_sec_per_chip",
-        "value": round(steps_per_sec, 2),
+        "value": headline["steps_per_sec"],
         "unit": "steps/s",
-        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+        "vs_baseline": round(headline["steps_per_sec"]
+                             / BASELINE_STEPS_PER_SEC, 3),
         "detail": {
-            "batch": batch,
+            "batch": headline_batch,
             "chain_steps": n_steps,
-            "seconds_per_chain": round(dt, 3),
-            "sprites_per_min_at_1000_steps": round(sprites_per_min_1000, 2),
-            "gflop_per_step": round(chain_flops / 1e9, 1)
-            if chain_flops else None,
-            "achieved_tflops": round(achieved_tflops, 1)
-            if achieved_tflops else None,
-            "mfu": mfu,
+            "by_batch": rows,
             "backend": jax.default_backend(),
             "device": device,
         },

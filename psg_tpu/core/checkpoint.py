@@ -25,17 +25,26 @@ from flax import serialization
 # one in-flight background write at a time; joined before the next write
 # (and at interpreter exit) so checkpoints are never interleaved
 _pending_write: Optional[threading.Thread] = None
+_pending_error: Optional[BaseException] = None
 _pending_lock = threading.Lock()
 
 
 def wait_for_writes() -> None:
-    """Block until any in-flight async checkpoint write completes."""
-    global _pending_write
+    """Block until any in-flight async checkpoint write completes.
+
+    Re-raises any exception the background write hit (disk full,
+    serialization failure) — a silently-lost best checkpoint is worse
+    than a crashed run (ADVICE r2)."""
+    global _pending_write, _pending_error
     with _pending_lock:
         t = _pending_write
         _pending_write = None
     if t is not None:
         t.join()
+    with _pending_lock:
+        err, _pending_error = _pending_error, None
+    if err is not None:
+        raise RuntimeError("async checkpoint write failed") from err
 
 
 import atexit  # noqa: E402
@@ -57,12 +66,18 @@ def save_state(path, state, metadata: Optional[Dict[str, Any]] = None, *,
     state = jax.device_get(state)
 
     def write():
-        data = serialization.to_bytes(state)
-        tmp = path.with_suffix(path.suffix + ".tmp")
-        tmp.write_bytes(data)
-        tmp.rename(path)
-        if metadata is not None:
-            path.with_suffix(".json").write_text(json.dumps(metadata, indent=2))
+        try:
+            data = serialization.to_bytes(state)
+            tmp = path.with_suffix(path.suffix + ".tmp")
+            tmp.write_bytes(data)
+            tmp.rename(path)
+            if metadata is not None:
+                path.with_suffix(".json").write_text(
+                    json.dumps(metadata, indent=2))
+        except BaseException as e:  # surfaced by the next wait_for_writes()
+            global _pending_error
+            with _pending_lock:
+                _pending_error = e
 
     if not async_write:
         write()
@@ -78,6 +93,7 @@ def save_state(path, state, metadata: Optional[Dict[str, Any]] = None, *,
 def load_state(path, target):
     """Restore into a pytree of the same structure (``target`` provides
     structure + dtypes; typically a freshly-initialized state)."""
+    wait_for_writes()  # never read a checkpoint mid-async-write
     data = Path(path).read_bytes()
     return serialization.from_bytes(target, data)
 
@@ -131,9 +147,14 @@ class CheckpointManager:
             meta.update(extra_meta)
 
         if periodic:
-            save_state(self.dir / f"{self.stage}_step_{step:08d}.ckpt", state,
-                       meta, async_write=self.async_writes)
-            for old in self._periodic()[: -self.keep]:
+            new_path = self.dir / f"{self.stage}_step_{step:08d}.ckpt"
+            # rotation victims are computed INCLUDING the about-to-land
+            # path: with async writes the directory listing alone is stale
+            # (the newest file hasn't been renamed yet, ADVICE r2)
+            existing = [p for p in self._periodic() if p != new_path]
+            victims = ([*existing, new_path])[: -self.keep]
+            save_state(new_path, state, meta, async_write=self.async_writes)
+            for old in victims:
                 old.unlink(missing_ok=True)
                 old.with_suffix(".json").unlink(missing_ok=True)
 
@@ -143,6 +164,33 @@ class CheckpointManager:
             save_state(self.best_path, state, meta,
                        async_write=self.async_writes)
         return is_best
+
+    def save_best_light(self, sample_params, step: int, metric: float,
+                        extra_meta: Optional[Dict[str, Any]] = None) -> bool:
+        """Best-model write carrying ONLY sampling params (bf16 cast).
+
+        Full train states are ~10 GB and cost ~15 min each through a
+        tunneled device; everything downstream of a best checkpoint
+        (serving, stage-3 hand-off) needs just the sampling params, which
+        load via load_params/load_sample_params from the ``params`` entry
+        written here.  Resume-grade full states are still written by the
+        periodic path."""
+        if metric >= self.best_metric:
+            return False
+        self.best_metric = float(metric)
+        import jax.numpy as jnp
+
+        light = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            sample_params)
+        meta = {"step": int(step), "time": time.time(), "stage": self.stage,
+                "metric": float(metric), "light": True}
+        if extra_meta:
+            meta.update(extra_meta)
+        save_state(self.best_path, {"params": light}, meta,
+                   async_write=self.async_writes)
+        return True
 
     def restore(self, target, best: bool = True):
         wait_for_writes()
@@ -163,6 +211,32 @@ def load_params(path, params_template):
     caller's template with from_state_dict (which handles list fields).
     Accepts bare-params checkpoints too.
     """
+    wait_for_writes()  # never read a checkpoint mid-async-write
     raw = serialization.msgpack_restore(Path(path).read_bytes())
     sub = raw.get("params", raw)
-    return serialization.from_state_dict(params_template, sub)
+    return _cast_like(params_template,
+                      serialization.from_state_dict(params_template, sub))
+
+
+def load_sample_params(path, params_template):
+    """Like load_params but prefers the checkpoint's EMA params when the
+    state tracked them (stage-2 r3 runs): sampling/serving should use the
+    smoothed weights, not the raw spiky trajectory."""
+    wait_for_writes()
+    raw = serialization.msgpack_restore(Path(path).read_bytes())
+    ema = raw.get("ema")
+    sub = ema if isinstance(ema, dict) and ema else raw.get("params", raw)
+    return _cast_like(params_template,
+                      serialization.from_state_dict(params_template, sub))
+
+
+def _cast_like(template, tree):
+    """Restored leaves take the template's dtypes ("template provides
+    structure + dtypes") — light checkpoints store bf16, trainers want
+    fp32 params."""
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda t, x: x.astype(t.dtype)
+        if hasattr(t, "dtype") and hasattr(x, "astype") else x,
+        template, tree)

@@ -117,6 +117,13 @@ class TrainingConfig:
     log_every: int = 5
     save_every: int = 20
     sample_every: int = 15
+    # Device-resident fast path (train/fastpath.py): whole split in HBM,
+    # on-device augmentation, one lax.scan per epoch.  Classic per-batch
+    # loader path when False (required for mesh runs).
+    fast_path: bool = False
+    # Validate every N epochs (host calls are expensive through the
+    # tunnel; the fast path batches each validation into one call)
+    val_every: int = 1
     # Best-checkpoint writes compete only every N epochs (full-size states
     # are ~8GB; on a tunneled device each write costs minutes, so long runs
     # throttle them).  1 = reference behavior (every improvement writes).
@@ -137,12 +144,20 @@ class OptimizationConfig:
     # train/optim.py:skip_above_global_norm).
     skip_grad_norm: Optional[float] = None
     use_mixed_precision: bool = False
-    scheduler: str = "constant"  # constant | cosine | step
+    scheduler: str = "constant"  # constant | cosine | step | warmup_cosine
     beta1: float = 0.9
     beta2: float = 0.999
     eps: float = 1e-8
     # Stage-2 OneCycle warmup fraction (improved_diffusion_trainer.py:313-319)
     onecycle_pct_start: float = 0.1
+    # 'warmup_cosine': linear warmup over this many steps, then cosine
+    # decay to lr_end_factor * lr (the r3 stability plan for the 655M UNet:
+    # the measured collapses happened at constant lr)
+    warmup_steps: int = 500
+    lr_end_factor: float = 0.1
+    # EMA decay for sampling/eval params (0 disables; stage 2 uses the EMA
+    # for sample grids + the best checkpoint's sampling params)
+    ema_decay: float = 0.0
 
 
 @dataclass

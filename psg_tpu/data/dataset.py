@@ -126,7 +126,10 @@ class PokemonDataset:
         cache_key = (str(csv_path), str(image_dir), image_size, self.background)
         cached = _SPRITE_CACHE.get(cache_key)
         if cached is not None:
-            self.rows, self.images = cached
+            cached_rows, self.images = cached
+            # each instance gets its own list (the cache keeps an immutable
+            # tuple) so mutating ds.rows cannot corrupt other datasets
+            self.rows = list(cached_rows)
         else:
             rows = read_description_csv(csv_path)
             image_dir = Path(image_dir)
@@ -145,7 +148,7 @@ class PokemonDataset:
             self.images = np.stack(images) if images else np.zeros(
                 (0, image_size, image_size, 3), np.uint8)
             self.images.setflags(write=False)
-            _SPRITE_CACHE[cache_key] = (self.rows, self.images)
+            _SPRITE_CACHE[cache_key] = (tuple(self.rows), self.images)
 
         self.names = [r["english_name"] for r in self.rows]
         self.descriptions = [r["description"] for r in self.rows]

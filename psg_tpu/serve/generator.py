@@ -130,12 +130,13 @@ class PokemonGenerator:
                              self.cfg.model.text_embedding_dim),
         }
         unet_tmpl = jit_init(unet_init, k_unet, self.spec)
-        from psg_tpu.core.checkpoint import load_params
+        from psg_tpu.core.checkpoint import load_params, load_sample_params
 
         if vae_ckpt and Path(vae_ckpt).exists():
             vae_tmpl = load_params(vae_ckpt, vae_tmpl)
         if diff_ckpt and Path(diff_ckpt).exists():
-            unet_tmpl = load_params(diff_ckpt, unet_tmpl)
+            # prefer the EMA params when the stage-2 run tracked them
+            unet_tmpl = load_sample_params(diff_ckpt, unet_tmpl)
         return {"vae": vae_tmpl["vae"], "text": vae_tmpl["text"],
                 "unet": unet_tmpl}
 

@@ -26,15 +26,24 @@ import optax
 
 def make_lr_schedule(kind: str, base_lr: float, *, total_steps: int,
                      steps_per_epoch: int = 1, step_size_epochs: int = 30,
-                     gamma: float = 0.1, pct_start: float = 0.1):
+                     gamma: float = 0.1, pct_start: float = 0.1,
+                     warmup_steps: int = 500, end_factor: float = 0.1):
     """-> optax schedule fn.
 
     'constant', 'cosine' (anneal to 0 over total_steps, the per-step
     equivalent of CosineAnnealingLR(T_max=epochs)), 'step'
-    (StepLR(step_size, gamma)), 'onecycle' (OneCycleLR, pct_start warmup).
+    (StepLR(step_size, gamma)), 'onecycle' (OneCycleLR, pct_start warmup),
+    'warmup_cosine' (linear warmup then cosine decay to end_factor*lr —
+    the r3 stage-2 stability schedule).
     """
     if kind == "constant":
         return optax.constant_schedule(base_lr)
+    if kind == "warmup_cosine":
+        warmup = min(max(warmup_steps, 1), max(total_steps - 1, 1))
+        return optax.warmup_cosine_decay_schedule(
+            init_value=base_lr * 1e-2, peak_value=base_lr,
+            warmup_steps=warmup, decay_steps=max(total_steps, 2),
+            end_value=base_lr * end_factor)
     if kind == "cosine":
         return optax.cosine_decay_schedule(base_lr, decay_steps=max(total_steps, 1))
     if kind == "step":
@@ -54,38 +63,41 @@ def make_lr_schedule(kind: str, base_lr: float, *, total_steps: int,
     raise ValueError(f"unknown scheduler {kind!r}")
 
 
-def skip_above_global_norm(threshold: float):
-    """Zero the whole update when the raw gradient norm exceeds
-    ``threshold`` (counted in ``skipped``).
+def skip_above_global_norm(threshold: float,
+                           inner: optax.GradientTransformation):
+    """Skip the whole update when the RAW gradient norm exceeds
+    ``threshold`` (counted in ``skipped``), leaving the INNER optimizer
+    state (Adam moments, bias-correction counts) untouched — the
+    finite-magnitude sibling of ``optax.apply_if_finite``.
 
     Clipping alone does not survive a gradient explosion: a burst of
     ~45 norm-clipped steps was measured to collapse the 655M UNet from
     loss 0.59 back to the zero-prediction plateau (evidence run,
-    epoch 324). Skipping the burst entirely — the finite-magnitude
-    sibling of ``optax.apply_if_finite`` — preserves the model. Place
-    FIRST in the chain so the RAW norm is tested.
-    """
+    epoch 324).  Wrapping (rather than zeroing updates in front of Adam)
+    means a rejected burst can no longer decay mu/nu toward zero or
+    advance bias correction (ADVICE r2)."""
 
     def init_fn(params):
-        del params
-        return {"skipped": jnp.zeros((), jnp.int32)}
+        return {"skipped": jnp.zeros((), jnp.int32),
+                "inner": inner.init(params)}
 
     def update_fn(updates, state, params=None):
-        del params
         gn = optax.global_norm(updates)
         ok = gn <= threshold
+        new_updates, new_inner = inner.update(updates, state["inner"], params)
         scale = jnp.where(ok, 1.0, 0.0)
-        updates = jax.tree_util.tree_map(lambda u: u * scale, updates)
-        return updates, {"skipped": state["skipped"] + jnp.int32(~ok)}
+        out = jax.tree_util.tree_map(lambda u: u * scale, new_updates)
+        kept_inner = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old) if hasattr(new, "dtype")
+            else new, new_inner, state["inner"])
+        return out, {"skipped": state["skipped"] + jnp.int32(~ok),
+                     "inner": kept_inner}
 
     return optax.GradientTransformation(init_fn, update_fn)
 
 
 def _group_tx(opt_cfg, lr_schedule, max_grad_norm: Optional[float]):
     chain = []
-    skip_norm = getattr(opt_cfg, "skip_grad_norm", None)
-    if skip_norm is not None and skip_norm > 0:
-        chain.append(skip_above_global_norm(skip_norm))
     if max_grad_norm is not None and max_grad_norm > 0:
         chain.append(optax.clip_by_global_norm(max_grad_norm))
     if opt_cfg.optimizer == "adamw":
@@ -96,7 +108,13 @@ def _group_tx(opt_cfg, lr_schedule, max_grad_norm: Optional[float]):
                                 eps=opt_cfg.eps))
     else:
         raise ValueError(f"unknown optimizer {opt_cfg.optimizer!r}")
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    skip_norm = getattr(opt_cfg, "skip_grad_norm", None)
+    if skip_norm is not None and skip_norm > 0:
+        # wraps the whole chain: the raw norm gates, skipped steps freeze
+        # Adam state
+        tx = skip_above_global_norm(skip_norm, tx)
+    return tx
 
 
 def build_optimizer(opt_cfg, groups: Dict[str, dict], label_tree,

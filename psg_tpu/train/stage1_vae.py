@@ -160,10 +160,14 @@ class VAETrainer:
         spe = max(len(self.train_loader), 1)
         total = cfg.training.vae_epochs * spe
         vae_sched = make_lr_schedule(o.scheduler, o.learning_rate,
-                                     total_steps=total, steps_per_epoch=spe)
+                                     total_steps=total, steps_per_epoch=spe,
+                                     warmup_steps=o.warmup_steps,
+                                     end_factor=o.lr_end_factor)
         text_lr = o.text_encoder_lr or o.learning_rate * 0.1
         text_sched = make_lr_schedule(o.scheduler, text_lr,
-                                      total_steps=total, steps_per_epoch=spe)
+                                      total_steps=total, steps_per_epoch=spe,
+                                      warmup_steps=o.warmup_steps,
+                                      end_factor=o.lr_end_factor)
         text_labels = labels_from_mask(
             finetune_mask(params["text"], self.bert_cfg,
                           cfg.model.bert_finetune_strategy), "text")
@@ -275,6 +279,126 @@ class VAETrainer:
         parts["kl_weight"] = kl_weight
         return TrainState(state.step + 1, params, opt_state, state.rng), parts
 
+    # -- device-resident fast path (train/fastpath.py) -----------------------
+
+    def _fast_epoch_impl(self, state: TrainState, vgg_params, data, kl_weight):
+        from psg_tpu.data.device_augment import augment_batch, normalize_batch
+        from psg_tpu.train.fastpath import draw_minibatch
+
+        n = data["images"].shape[0]
+        bs = self.cfg.data.batch_size
+
+        def body(st, _):
+            rng = jax.random.fold_in(st.rng, st.step)
+            k_idx, k_aug, k_loss = jax.random.split(rng, 3)
+            idx = draw_minibatch(k_idx, n, bs)
+            imgs_u8 = data["images"][idx]
+            if self.cfg.data.augment:
+                imgs = augment_batch(imgs_u8, k_aug, self.ds.background)
+            else:
+                imgs = normalize_batch(imgs_u8)
+            batch = {"image": imgs, "text_ids": data["text_ids"][idx],
+                     "text_mask": data["text_mask"][idx]}
+
+            def loss_fn(p):
+                return self._forward_loss(p, vgg_params, batch, k_loss,
+                                          kl_weight, "train")
+
+            (_, parts), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(st.params)
+            updates, opt_state = self.tx.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            ys = {"total_loss": parts["total_loss"],
+                  "reconstruction_loss": parts["reconstruction_loss"],
+                  "perceptual_loss": parts["perceptual_loss"],
+                  "kl_loss": parts["kl_loss"],
+                  "grad_norm": global_norm(grads)}
+            return TrainState(st.step + 1, params, opt_state, st.rng,
+                              st.ema), ys
+
+        return jax.lax.scan(body, state, None, length=self._fast_len)
+
+    def _fast_val_impl(self, state: TrainState, vgg_params, ev, kl_weight):
+        from psg_tpu.data.device_augment import normalize_batch
+
+        def body(carry, inp):
+            i, batch = inp
+            rng = jax.random.fold_in(jax.random.fold_in(state.rng,
+                                                        jnp.int32(-1)), i)
+            b = {"image": normalize_batch(batch["images"]),
+                 "text_ids": batch["text_ids"], "text_mask": batch["text_mask"]}
+            _, parts = self._forward_loss(state.params, vgg_params, b, rng,
+                                          kl_weight, "val",
+                                          sample_weights=batch["weight"])
+            w = jnp.sum(batch["weight"])
+            return (carry[0] + parts["total_loss"] * w, carry[1] + w), None
+
+        nb = ev["images"].shape[0]
+        (tot, cnt), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), jnp.float32(0.0)),
+            (jnp.arange(nb), ev))
+        return tot / jnp.maximum(cnt, 1.0)
+
+    def _setup_fast_data(self):
+        from psg_tpu.train.fastpath import device_split, eval_batches
+
+        self._train_data = device_split(self.ds, self.train_loader.indices)
+        self._val_data = eval_batches(self.ds, self.val_loader.indices,
+                                      self.cfg.data.batch_size)
+        self._fast_len = max(len(self.train_loader), 1)
+        self._fast_epoch = jax.jit(self._fast_epoch_impl, donate_argnums=(0,))
+        self._fast_val = jax.jit(self._fast_val_impl)
+
+    def train_epoch_fast(self, epoch: int) -> Dict[str, float]:
+        klw = jnp.float32(self.kl_weight(epoch))
+        self.state, ys = self._fast_epoch(self.state, self.vgg_params,
+                                          self._train_data, klw)
+        stats = {k: float(np.asarray(v, np.float32).mean())
+                 for k, v in ys.items()}
+        stats["grad_norm_max"] = float(np.asarray(ys["grad_norm"]).max())
+        self.metrics.scalars(stats, int(self.state.step), prefix="vae_train/")
+        return stats
+
+    def validate_fast(self, epoch: int) -> float:
+        klw = jnp.float32(self.kl_weight(epoch))
+        val = float(self._fast_val(self.state, self.vgg_params,
+                                   self._val_data, klw))
+        self.metrics.scalar("vae_val/total_loss", val, int(self.state.step))
+        return val
+
+    def _train_fast(self) -> Path:
+        tr = self.cfg.training
+        epochs = tr.vae_epochs
+        self._setup_fast_data()
+        self.log.info("stage 1 (fast path): %d epochs x %d scanned steps, "
+                      "batch %d", epochs, self._fast_len,
+                      self.cfg.data.batch_size)
+        for epoch in range(self.start_epoch, epochs):
+            t0 = time.time()
+            stats = self.train_epoch_fast(epoch)
+            val_loss = None
+            if (epoch + 1) % max(tr.val_every, 1) == 0:
+                val_loss = self.validate_fast(epoch)
+                if val_loss < self.best_val:
+                    self.best_val = val_loss
+            self.save_checkpoint_fast(epoch, val_loss)
+            if (epoch + 1) % tr.sample_every == 0:
+                self.generate_samples(epoch)
+            dt = time.time() - t0
+            self.log.info(
+                "epoch %d done in %.1fs (%.1f steps/s): train %.4f recon "
+                "%.4f kl %.4f val %s", epoch, dt,
+                self._fast_len / max(dt, 1e-9), stats["total_loss"],
+                stats["reconstruction_loss"], stats["kl_loss"],
+                f"{val_loss:.4f}" if val_loss is not None else "-")
+        if epochs > self.start_epoch:
+            self.ckpt.save(self.state, int(self.state.step), None,
+                           extra_meta={"epoch": epochs - 1,
+                                       "config": self.cfg.to_dict()},
+                           periodic=True)
+        self.metrics.flush()
+        return self.ckpt.best_path
+
     def _eval(self, state: TrainState, vgg_params, batch, kl_weight, valid):
         # padded tail samples (positions >= valid) are masked out of every
         # loss term so val loss is invariant to batch size
@@ -359,6 +483,24 @@ class VAETrainer:
                         self.stage_dir / "samples" / f"epoch_{epoch:04d}.png",
                         captions=descs)
 
+    def save_checkpoint_fast(self, epoch: int, val_loss) -> bool:
+        """Light bf16 best (sampling params only) + periodic full states —
+        see DiffusionTrainer.save_checkpoint_fast."""
+        tr = self.cfg.training
+        meta = {"epoch": epoch, "config": self.cfg.to_dict()}
+        is_best = False
+        allow_best = val_loss is not None and (
+            (epoch + 1) % max(tr.best_every, 1) == 0
+            or epoch + 1 == tr.vae_epochs)
+        if allow_best:
+            is_best = self.ckpt.save_best_light(
+                self.state.sample_params, int(self.state.step), val_loss,
+                extra_meta=meta)
+        if (epoch + 1) % tr.save_every == 0:
+            self.ckpt.save(self.state, int(self.state.step), None,
+                           extra_meta=meta, periodic=True)
+        return is_best
+
     def save_checkpoint(self, epoch: int, val_loss: float) -> bool:
         tr = self.cfg.training
         allow_best = ((epoch + 1) % max(tr.best_every, 1) == 0
@@ -375,14 +517,26 @@ class VAETrainer:
         else:
             from psg_tpu.core.checkpoint import load_metadata, load_state
 
-            self.state = load_state(path, self.state)
             meta = load_metadata(path)
+            try:
+                self.state = load_state(path, self.state)
+            except Exception as e:  # light/foreign checkpoint: params-only
+                self.log.warning(
+                    "strict restore failed (%s) — params-only restore", e)
+                from psg_tpu.core.checkpoint import load_params
+
+                params = load_params(path, self.state.params)
+                self.state = TrainState(
+                    jnp.asarray(int(meta.get("step", 0)), jnp.int32), params,
+                    self.tx.init(params), self.state.rng)
         self.start_epoch = int(meta.get("epoch", -1)) + 1
         self.best_val = float(meta.get("metric", float("inf")))
         self.log.info("restored checkpoint at epoch %d (val %.4f)",
                       self.start_epoch, self.best_val)
 
     def train(self) -> Path:
+        if self.cfg.training.fast_path and self.mesh is None:
+            return self._train_fast()
         epochs = self.cfg.training.vae_epochs
         self.log.info("stage 1: %d epochs, %d train batches/epoch",
                       epochs, len(self.train_loader))

@@ -146,7 +146,10 @@ class DiffusionTrainer:
             kind = sched_kind
         lr_sched = make_lr_schedule(kind, lr, total_steps=total_steps,
                                     steps_per_epoch=spe,
-                                    pct_start=o.onecycle_pct_start)
+                                    pct_start=o.onecycle_pct_start,
+                                    warmup_steps=uo.get("warmup_steps",
+                                                        o.warmup_steps),
+                                    end_factor=o.lr_end_factor)
         import dataclasses
 
         # AdamW eps=1e-6 for stability (improved_diffusion_trainer.py:283,291)
@@ -159,7 +162,14 @@ class DiffusionTrainer:
                       "max_grad_norm": uo.get("max_grad_norm", o.max_grad_norm)}},
             labels,
         )
-        self.state = TrainState.create(unet_params, self.tx.init(unet_params), k_state)
+        # EMA of UNet params for sampling (r3 stability plan): tracked in
+        # the train state, updated on-device each step, used by sample
+        # grids and preferred by serving
+        self.ema_decay = float(cfg.optimization.ema_decay)
+        ema = (jax.tree_util.tree_map(jnp.array, unet_params)
+               if self.ema_decay > 0 else ())
+        self.state = TrainState.create(unet_params, self.tx.init(unet_params),
+                                       k_state, ema=ema)
         if mesh is not None:
             # DP: batches sharded over 'data' (shard_batch below); XLA
             # psums the grads over ICI.  TP: with mesh model>1 the wide
@@ -212,32 +222,52 @@ class DiffusionTrainer:
 
     # -- jitted fns -----------------------------------------------------------
 
-    def _prep_latents(self, frozen, batch, rng):
-        text_emb = text_encoder_apply(frozen["text"], batch["text_ids"],
-                                      batch["text_mask"], self.bert_cfg,
-                                      dtype=self.compute_dtype)
-        mu, logvar = vae_encoder_apply(frozen["vae"]["encoder"], batch["image"],
+    def _noise_loss_emb(self, unet_params, frozen_vae, images, text_emb,
+                        text_mask, rng, dropout_key=None, sample_weights=None):
+        """Diffusion loss from images + precomputed text embeddings (the
+        text encoder is frozen in stage 2, so the fast path computes all
+        embeddings once up front)."""
+        k_rep, k_t, k_noise = jax.random.split(rng, 3)
+        mu, logvar = vae_encoder_apply(frozen_vae["encoder"], images,
                                        dtype=self.compute_dtype)
-        latent = reparameterize(rng, mu, logvar)
+        latent = reparameterize(k_rep, mu, logvar)
         clamp = self.cfg.model.latent_clamp
         latent = jnp.clip(latent, -clamp, clamp)  # (:363)
-        return text_emb, latent
-
-    def _noise_loss(self, unet_params, frozen, batch, rng, dropout_key=None,
-                    sample_weights=None):
-        k_rep, k_t, k_noise = jax.random.split(rng, 3)
-        text_emb, latent = self._prep_latents(frozen, batch, k_rep)
         b = latent.shape[0]
         t = jax.random.randint(k_t, (b,), 0, self.schedule.num_timesteps)
         noise = jax.random.normal(k_noise, latent.shape, jnp.float32)
         noisy = self.schedule.add_noise(latent, noise, t)
         pred = unet_apply(unet_params, noisy.astype(latent.dtype), t, text_emb,
-                          self.spec, text_mask=batch["text_mask"],
+                          self.spec, text_mask=text_mask,
                           dtype=self.compute_dtype, dropout_key=dropout_key)
         if self.loss_kind == "mse":
             return mse_loss(pred, noise, sample_weights=sample_weights)
         return smooth_l1_loss(pred, noise, beta=0.1,
                               sample_weights=sample_weights)
+
+    def _noise_loss(self, unet_params, frozen, batch, rng, dropout_key=None,
+                    sample_weights=None):
+        text_emb = text_encoder_apply(frozen["text"], batch["text_ids"],
+                                      batch["text_mask"], self.bert_cfg,
+                                      dtype=self.compute_dtype)
+        return self._noise_loss_emb(unet_params, frozen["vae"], batch["image"],
+                                    text_emb, batch["text_mask"], rng,
+                                    dropout_key=dropout_key,
+                                    sample_weights=sample_weights)
+
+    def _apply_update(self, state: TrainState, loss, grads):
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        if self.ema_decay > 0:
+            d = self.ema_decay
+            ema = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p.astype(e.dtype),
+                state.ema, params)
+        else:
+            ema = state.ema
+        metrics = {"loss": loss, "grad_norm": global_norm(grads)}
+        return TrainState(state.step + 1, params, opt_state, state.rng,
+                          ema), metrics
 
     def _step(self, state: TrainState, frozen, batch):
         rng = jax.random.fold_in(state.rng, state.step)
@@ -247,10 +277,98 @@ class DiffusionTrainer:
             return self._noise_loss(p, frozen, batch, k_loss, dropout_key=k_drop)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics = {"loss": loss, "grad_norm": global_norm(grads)}
-        return TrainState(state.step + 1, params, opt_state, state.rng), metrics
+        return self._apply_update(state, loss, grads)
+
+    # -- device-resident fast path (train/fastpath.py) -----------------------
+
+    def _fast_epoch_impl(self, state: TrainState, frozen, data):
+        """One epoch as a single on-device scan: draw minibatch indices,
+        augment, VAE-encode, UNet step — no host round trips."""
+        from psg_tpu.data.device_augment import augment_batch, normalize_batch
+        from psg_tpu.train.fastpath import draw_minibatch
+
+        n = data["images"].shape[0]
+        bs = self.cfg.data.batch_size
+
+        def body(st, _):
+            rng = jax.random.fold_in(st.rng, st.step)
+            k_idx, k_aug, k_loss, k_drop = jax.random.split(rng, 4)
+            idx = draw_minibatch(k_idx, n, bs)
+            imgs_u8 = data["images"][idx]
+            if self.cfg.data.augment:
+                imgs = augment_batch(imgs_u8, k_aug, self.ds.background)
+            else:
+                imgs = normalize_batch(imgs_u8)
+
+            def loss_fn(p):
+                return self._noise_loss_emb(
+                    p, frozen["vae"], imgs, data["text_emb"][idx],
+                    data["text_mask"][idx], k_loss, dropout_key=k_drop)
+
+            loss, grads = jax.value_and_grad(loss_fn)(st.params)
+            return self._apply_update(st, loss, grads)
+
+        return jax.lax.scan(body, state, None, length=self._fast_len)
+
+    def _fast_val_impl(self, state: TrainState, frozen, ev):
+        """All validation batches in one scanned call; exact weighted mean
+        over real (non-padding) samples."""
+        from psg_tpu.data.device_augment import normalize_batch
+
+        def body(carry, inp):
+            i, batch = inp
+            rng = jax.random.fold_in(jax.random.fold_in(state.rng,
+                                                        jnp.int32(-2)), i)
+            loss = self._noise_loss_emb(
+                state.params, frozen["vae"], normalize_batch(batch["images"]),
+                batch["text_emb"], batch["text_mask"], rng,
+                sample_weights=batch["weight"])
+            w = jnp.sum(batch["weight"])
+            return (carry[0] + loss * w, carry[1] + w), None
+
+        nb = ev["images"].shape[0]
+        (tot, cnt), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), jnp.float32(0.0)),
+            (jnp.arange(nb), ev))
+        return tot / jnp.maximum(cnt, 1.0)
+
+    def _setup_fast_data(self):
+        from functools import partial
+
+        from psg_tpu.train.fastpath import device_split, eval_batches
+
+        emb_fn = jax.jit(partial(
+            lambda tp, ids, mask: text_encoder_apply(
+                tp, ids, mask, self.bert_cfg, dtype=self.compute_dtype)))
+        f = lambda ids, mask: emb_fn(self.frozen["text"], ids, mask)  # noqa: E731
+        self._train_data = device_split(self.ds, self.train_loader.indices,
+                                        text_emb_fn=f)
+        ev = eval_batches(self.ds, self.val_loader.indices,
+                          self.cfg.data.batch_size)
+        nb, bs = ev["text_ids"].shape[:2]
+        flat_emb = f(ev["text_ids"].reshape(nb * bs, -1),
+                     ev["text_mask"].reshape(nb * bs, -1))
+        ev["text_emb"] = flat_emb.reshape((nb, bs) + flat_emb.shape[1:])
+        self._val_data = ev
+        self._fast_len = max(len(self.train_loader), 1)
+        self._fast_epoch = jax.jit(self._fast_epoch_impl, donate_argnums=(0,))
+        self._fast_val = jax.jit(self._fast_val_impl)
+
+    def train_epoch_fast(self, epoch: int) -> Dict[str, float]:
+        self.state, ys = self._fast_epoch(self.state, self.frozen,
+                                          self._train_data)
+        loss = np.asarray(ys["loss"], np.float32)
+        gn = np.asarray(ys["grad_norm"], np.float32)
+        stats = {"loss": float(loss.mean()), "grad_norm": float(gn.mean()),
+                 "grad_norm_max": float(gn.max())}
+        self.metrics.scalars(stats, int(self.state.step),
+                             prefix="diffusion_train/")
+        return stats
+
+    def validate_fast(self, epoch: int) -> float:
+        val = float(self._fast_val(self.state, self.frozen, self._val_data))
+        self.metrics.scalar("diffusion_val/loss", val, int(self.state.step))
+        return val
 
     def _eval(self, state: TrainState, frozen, batch, valid):
         # mask wraparound-padded tail samples (loader pads the last eval
@@ -329,7 +447,7 @@ class DiffusionTrainer:
         descs = self.ds.full_descriptions[:num]
         ids, mask = self.tokenizer.encode_batch(descs, self.cfg.data.text_len)
         rng = jax.random.fold_in(self.state.rng, 20_000 + epoch)
-        imgs = self._sample_fn(self.state.params, self.frozen, rng,
+        imgs = self._sample_fn(self.state.sample_params, self.frozen, rng,
                                jnp.asarray(ids), jnp.asarray(mask),
                                num=num, stride=stride)
         save_image_grid(np.asarray(imgs),
@@ -352,6 +470,26 @@ class DiffusionTrainer:
                                           "config": self.cfg.to_dict()},
                               periodic=((epoch + 1) % self.cfg.training.save_every == 0))
 
+    def save_checkpoint_fast(self, epoch: int, val_loss) -> bool:
+        """Fast-path policy: best checkpoints are LIGHT (bf16 sampling
+        params only — serving/stage-3 need nothing more, and a full
+        ~10 GB state costs ~15 min through the tunnel); periodic
+        resume-grade full states keep their cadence."""
+        tr = self.cfg.training
+        meta = {"epoch": epoch, "config": self.cfg.to_dict()}
+        is_best = False
+        allow_best = val_loss is not None and (
+            (epoch + 1) % max(tr.best_every, 1) == 0
+            or epoch + 1 == tr.diffusion_epochs)
+        if allow_best:
+            is_best = self.ckpt.save_best_light(
+                self.state.sample_params, int(self.state.step), val_loss,
+                extra_meta=meta)
+        if (epoch + 1) % tr.save_every == 0:
+            self.ckpt.save(self.state, int(self.state.step), None,
+                           extra_meta=meta, periodic=True)
+        return is_best
+
     def load_checkpoint(self, path: Optional[str] = None):
         if path is None:
             self.state, meta = self.ckpt.restore(self.state, best=True)
@@ -368,13 +506,60 @@ class DiffusionTrainer:
                 from psg_tpu.core.checkpoint import load_params
 
                 params = load_params(path, self.state.params)
+                ema = (jax.tree_util.tree_map(jnp.array, params)
+                       if self.ema_decay > 0 else ())
                 self.state = TrainState(
                     jnp.asarray(int(meta.get("step", 0)), jnp.int32), params,
-                    self.tx.init(params), self.state.rng)
+                    self.tx.init(params), self.state.rng, ema)
         self.start_epoch = int(meta.get("epoch", -1)) + 1
         self.best_val = float(meta.get("metric", float("inf")))
 
     def train(self) -> Path:
+        if self.cfg.training.fast_path and self.mesh is None:
+            return self._train_fast()
+        return self._train_classic()
+
+    def _train_fast(self) -> Path:
+        """Device-resident training: ~1 host call per epoch (see
+        train/fastpath.py for why this matters on a tunneled TPU)."""
+        tr = self.cfg.training
+        epochs = tr.diffusion_epochs
+        self._setup_fast_data()
+        self.log.info("stage 2 (fast path): %d epochs x %d scanned steps, "
+                      "batch %d, ema %.4f", epochs, self._fast_len,
+                      self.cfg.data.batch_size, self.ema_decay)
+        t_start = time.time()
+        for epoch in range(self.start_epoch, epochs):
+            t0 = time.time()
+            stats = self.train_epoch_fast(epoch)
+            val_loss = None
+            if (epoch + 1) % max(tr.val_every, 1) == 0:
+                val_loss = self.validate_fast(epoch)
+                if val_loss < self.best_val:
+                    self.best_val = val_loss
+            self.save_checkpoint_fast(epoch, val_loss)
+            if (epoch + 1) % tr.sample_every == 0:
+                self.generate_samples(epoch)
+            dt = time.time() - t0
+            self.log.info(
+                "epoch %d done in %.1fs (%.1f steps/s): train %.4f "
+                "gnorm %.2f/%.2f val %s skipped %d",
+                epoch, dt, self._fast_len / max(dt, 1e-9), stats["loss"],
+                stats["grad_norm"], stats["grad_norm_max"],
+                f"{val_loss:.4f}" if val_loss is not None else "-",
+                self.skipped_batches())
+        if epochs > self.start_epoch:
+            self.ckpt.save(self.state, int(self.state.step), None,
+                           extra_meta={"epoch": epochs - 1,
+                                       "config": self.cfg.to_dict()},
+                           periodic=True)
+        self.log.info("stage 2 fast path: %d epochs in %.1f min",
+                      epochs - self.start_epoch,
+                      (time.time() - t_start) / 60.0)
+        self.metrics.flush()
+        return self.ckpt.best_path
+
+    def _train_classic(self) -> Path:
         epochs = self.cfg.training.diffusion_epochs
         self.log.info("stage 2: %d epochs, %d train batches/epoch",
                       epochs, len(self.train_loader))

@@ -146,10 +146,16 @@ class SDDiffusionTrainer:
             uo.get("scheduler", o.scheduler)
         unet_sched = make_lr_schedule(kind, unet_lr, total_steps=total,
                                       steps_per_epoch=spe,
-                                      pct_start=o.onecycle_pct_start)
+                                      pct_start=o.onecycle_pct_start,
+                                      warmup_steps=uo.get("warmup_steps",
+                                                          o.warmup_steps),
+                                      end_factor=o.lr_end_factor)
         text_sched = make_lr_schedule(kind, text_lr, total_steps=total,
                                       steps_per_epoch=spe,
-                                      pct_start=o.onecycle_pct_start)
+                                      pct_start=o.onecycle_pct_start,
+                                      warmup_steps=uo.get("warmup_steps",
+                                                          o.warmup_steps),
+                                      end_factor=o.lr_end_factor)
 
         train_mode = ("cross_attention_only"
                       if (m.freeze_encoder and m.freeze_decoder)

@@ -124,7 +124,9 @@ class FinalTrainer:
 
         def sched(lr):
             return make_lr_schedule(sched_kind, lr, total_steps=epochs * spe,
-                                    steps_per_epoch=spe)
+                                    steps_per_epoch=spe,
+                                    warmup_steps=cfg.optimization.warmup_steps,
+                                    end_factor=cfg.optimization.lr_end_factor)
 
         dec_lr = (cfg.extra or {}).get("optimization", {}).get(
             "vae_decoder_lr", text_lr * 0.1)
@@ -198,7 +200,7 @@ class FinalTrainer:
         }
         unet_tmpl = jit_init(unet_init, k_unet, self.spec)
 
-        from psg_tpu.core.checkpoint import load_params
+        from psg_tpu.core.checkpoint import load_params, load_sample_params
 
         if vae_path and Path(vae_path).exists():
             vae_tmpl = load_params(vae_path, vae_tmpl)
@@ -206,7 +208,8 @@ class FinalTrainer:
         else:
             self.log.warning("no VAE checkpoint (%r) — random init", str(vae_path))
         if diff_path and Path(diff_path).exists():
-            unet_tmpl = load_params(diff_path, unet_tmpl)
+            # the frozen UNet drives generation only — prefer EMA weights
+            unet_tmpl = load_sample_params(diff_path, unet_tmpl)
             self.log.info("loaded UNet from %s", diff_path)
         else:
             self.log.warning("no diffusion checkpoint (%r) — random init",

@@ -16,8 +16,18 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     rng: jnp.ndarray  # PRNG key
+    # EMA of params for sampling/serving (fp32; () = disabled).  The r3
+    # stage-2 stability plan samples from the EMA — the raw 655M-UNet
+    # trajectory is spiky even when healthy.
+    ema: Any = ()
 
     @classmethod
-    def create(cls, params, opt_state, rng):
+    def create(cls, params, opt_state, rng, ema=()):
         return cls(step=jnp.zeros((), jnp.int32), params=params,
-                   opt_state=opt_state, rng=rng)
+                   opt_state=opt_state, rng=rng, ema=ema)
+
+    @property
+    def sample_params(self):
+        """EMA params when tracked, else the live params."""
+        return self.ema if isinstance(self.ema, dict) and self.ema else \
+            self.params

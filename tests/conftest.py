@@ -42,6 +42,21 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip)
 
 
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Loud one-line summary of capability tests that silently skipped
+    because no pretrained-weight artifacts exist on this host (VERDICT r2:
+    otherwise nobody notices the full pretrained path never ran)."""
+    skipped = terminalreporter.stats.get("skipped", [])
+    gated = [r for r in skipped
+             if any(s in str(getattr(r, "longrepr", "")).lower()
+                    for s in ("not dropped", "pretrained", "weights/"))]
+    if gated:
+        terminalreporter.write_line(
+            f"NOTE: {len(gated)} capability test(s) skipped: no pretrained "
+            "weight artifacts on this host (see README 'Capability "
+            "statement')", yellow=True)
+
+
 @pytest.fixture(scope="session")
 def rng_key():
     import jax

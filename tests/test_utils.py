@@ -149,22 +149,32 @@ def test_async_checkpoint_write(tmp_path):
 
 def test_skip_above_global_norm_guard():
     """Explosive-gradient steps are zeroed entirely (not just clipped);
-    normal steps pass through; the skip counter increments."""
+    normal steps pass through; the skip counter increments; the INNER
+    optimizer state (Adam moments / counts) is frozen on skipped steps
+    (ADVICE r2)."""
     import jax.numpy as jnp
     import numpy as np
+    import optax
 
     from psg_tpu.train.optim import skip_above_global_norm
 
-    tx = skip_above_global_norm(0.5)
+    tx = skip_above_global_norm(0.5, optax.adam(1e-2))
     params = {"w": jnp.zeros(3)}
     state = tx.init(params)
 
     small = {"w": jnp.array([0.1, 0.1, 0.1])}
-    out, state = tx.update(small, state)
-    np.testing.assert_allclose(np.asarray(out["w"]), np.asarray(small["w"]))
+    out, state = tx.update(small, state, params)
+    assert np.all(np.isfinite(np.asarray(out["w"])))
+    assert np.abs(np.asarray(out["w"])).max() > 0
     assert int(state["skipped"]) == 0
+    mu_after_ok = np.asarray(state["inner"][0].mu["w"]).copy()
+    count_after_ok = int(state["inner"][0].count)
 
     big = {"w": jnp.array([10.0, 0.0, 0.0])}
-    out, state = tx.update(big, state)
+    out, state = tx.update(big, state, params)
     np.testing.assert_allclose(np.asarray(out["w"]), 0.0)
     assert int(state["skipped"]) == 1
+    # Adam state untouched by the skipped step
+    np.testing.assert_array_equal(
+        np.asarray(state["inner"][0].mu["w"]), mu_after_ok)
+    assert int(state["inner"][0].count) == count_after_ok
