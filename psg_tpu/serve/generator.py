@@ -233,11 +233,24 @@ class PokemonGenerator:
         n = len(descriptions)
         ids, mask = self.tokenizer.encode_batch(list(descriptions),
                                                 self.cfg.data.text_len)
-        ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+        ids, mask = np.asarray(ids), np.asarray(mask)
+        num = n
         if self.mesh is not None:
-            ids = jax.device_put(ids, batch_sharding(self.mesh, 2))
-            mask = jax.device_put(mask, batch_sharding(self.mesh, 2))
+            # pad to a multiple of the 'data' axis so small batches
+            # (batch < n_devices) still shard; padding rows are sliced
+            # off after generation
+            d = self.mesh.shape.get("data", 1)
+            if n % d:
+                pad = d - n % d
+                ids = np.concatenate([ids, np.repeat(ids[-1:], pad, 0)])
+                mask = np.concatenate([mask, np.repeat(mask[-1:], pad, 0)])
+                num = n + pad
+            ids = jax.device_put(jnp.asarray(ids), batch_sharding(self.mesh, 2))
+            mask = jax.device_put(jnp.asarray(mask),
+                                  batch_sharding(self.mesh, 2))
+        else:
+            ids, mask = jnp.asarray(ids), jnp.asarray(mask)
         imgs = self._generate(self.params, self._key(seed), ids, mask, None,
-                              steps=num_inference_steps, num=n,
+                              steps=num_inference_steps, num=num,
                               sampler=sampler or self.sampler_name)
-        return np.asarray(imgs)
+        return np.asarray(imgs)[:n]

@@ -50,6 +50,9 @@ def device_split(ds, indices, *, text_emb_fn: Optional[Callable] = None,
         "text_ids": jnp.asarray(ds.text_ids[idx]),
         "text_mask": jnp.asarray(ds.text_mask[idx]),
     }
+    if getattr(ds, "clip_ids", None) is not None:  # stage-3 BPE ids
+        out["clip_ids"] = jnp.asarray(ds.clip_ids[idx])
+        out["clip_mask"] = jnp.asarray(ds.clip_mask[idx])
     if text_emb_fn is not None:
         embs = []
         n = len(idx)
@@ -81,7 +84,7 @@ def eval_batches(ds, indices, batch_size: int) -> Dict[str, jnp.ndarray]:
     weight = np.zeros(nb * batch_size, np.float32)
     weight[:n] = 1.0
     shape = (nb, batch_size)
-    return {
+    out = {
         "images": jnp.asarray(
             ds.images[padded].reshape(shape + ds.images.shape[1:])),
         "text_ids": jnp.asarray(
@@ -90,6 +93,12 @@ def eval_batches(ds, indices, batch_size: int) -> Dict[str, jnp.ndarray]:
             ds.text_mask[padded].reshape(shape + ds.text_mask.shape[1:])),
         "weight": jnp.asarray(weight.reshape(shape)),
     }
+    if getattr(ds, "clip_ids", None) is not None:  # stage-3 BPE ids
+        out["clip_ids"] = jnp.asarray(
+            ds.clip_ids[padded].reshape(shape + ds.clip_ids.shape[1:]))
+        out["clip_mask"] = jnp.asarray(
+            ds.clip_mask[padded].reshape(shape + ds.clip_mask.shape[1:]))
+    return out
 
 
 def draw_minibatch(key, n: int, batch_size: int) -> jnp.ndarray:

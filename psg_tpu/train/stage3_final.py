@@ -312,6 +312,151 @@ class FinalTrainer:
                           image_size=self.cfg.data.image_size,
                           dtype=self.compute_dtype)
 
+    # -- device-resident fast path (train/fastpath.py) -----------------------
+
+    def _fast_epoch_impl(self, state: TrainState, clip_params, data):
+        from psg_tpu.data.device_augment import augment_batch, normalize_batch
+        from psg_tpu.train.fastpath import draw_minibatch
+
+        n = data["images"].shape[0]
+        bs = self.cfg.data.batch_size
+
+        def body(st, _):
+            rng = jax.random.fold_in(st.rng, st.step)
+            k_idx, k_aug, k_loss = jax.random.split(rng, 3)
+            idx = draw_minibatch(k_idx, n, bs)
+            imgs_u8 = data["images"][idx]
+            if self.cfg.data.augment:
+                imgs = augment_batch(imgs_u8, k_aug, self.ds.background)
+            else:
+                imgs = normalize_batch(imgs_u8)
+            batch = {"image": imgs, "text_ids": data["text_ids"][idx],
+                     "text_mask": data["text_mask"][idx]}
+            if "clip_ids" in data:
+                batch["clip_ids"] = data["clip_ids"][idx]
+                batch["clip_mask"] = data["clip_mask"][idx]
+
+            def loss_fn(p):
+                return self._loss(p, clip_params, batch, k_loss)
+
+            (_, parts), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(st.params)
+            updates, opt_state = self.tx.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            ys = dict(parts)
+            ys["grad_norm"] = global_norm(grads)
+            return TrainState(st.step + 1, params, opt_state, st.rng,
+                              st.ema), ys
+
+        return jax.lax.scan(body, state, None, length=self._fast_len)
+
+    def _fast_val_impl(self, state: TrainState, clip_params, ev):
+        from psg_tpu.data.device_augment import normalize_batch
+
+        def body(carry, inp):
+            i, batch = inp
+            rng = jax.random.fold_in(jax.random.fold_in(state.rng,
+                                                        jnp.int32(-3)), i)
+            b = {"image": normalize_batch(batch["images"]),
+                 "text_ids": batch["text_ids"], "text_mask": batch["text_mask"]}
+            if "clip_ids" in batch:
+                b["clip_ids"] = batch["clip_ids"]
+                b["clip_mask"] = batch["clip_mask"]
+            _, parts = self._loss(state.params, clip_params, b, rng,
+                                  sample_weights=batch["weight"])
+            w = jnp.sum(batch["weight"])
+            return (carry[0] + parts["total_loss"] * w, carry[1] + w), None
+
+        nb = ev["images"].shape[0]
+        (tot, cnt), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), jnp.float32(0.0)),
+            (jnp.arange(nb), ev))
+        return tot / jnp.maximum(cnt, 1.0)
+
+    def _setup_fast_data(self):
+        from psg_tpu.train.fastpath import device_split, eval_batches
+
+        self._train_data = device_split(self.ds, self.train_loader.indices)
+        self._val_data = eval_batches(self.ds, self.val_loader.indices,
+                                      self.cfg.data.batch_size)
+        self._fast_len = max(len(self.train_loader), 1)
+        self._jit_fast()
+
+    def _jit_fast(self):
+        self._fast_epoch = jax.jit(self._fast_epoch_impl, donate_argnums=(0,))
+        self._fast_val = jax.jit(self._fast_val_impl)
+
+    def train_epoch_fast(self, epoch: int) -> Dict[str, float]:
+        self.state, ys = self._fast_epoch(self.state, self.clip_params,
+                                          self._train_data)
+        stats = {k: float(np.asarray(v, np.float32).mean())
+                 for k, v in ys.items()}
+        self.metrics.scalars(stats, int(self.state.step), prefix="final_train/")
+        return stats
+
+    def validate_fast(self, epoch: int) -> float:
+        val = float(self._fast_val(self.state, self.clip_params,
+                                   self._val_data))
+        self.metrics.scalar("final_val/total_loss", val, int(self.state.step))
+        return val
+
+    def save_checkpoint_fast(self, epoch: int, val_loss) -> bool:
+        """Light bf16 best + periodic full states — see
+        DiffusionTrainer.save_checkpoint_fast."""
+        tr = self.cfg.training
+        meta = {"epoch": epoch, "phase": self.phase,
+                "config": self.cfg.to_dict()}
+        is_best = False
+        allow_best = val_loss is not None and (
+            (epoch + 1) % max(tr.best_every, 1) == 0
+            or epoch + 1 == tr.final_epochs)
+        if allow_best:
+            is_best = self.ckpt.save_best_light(
+                self.state.sample_params, int(self.state.step), val_loss,
+                extra_meta=meta)
+        if (epoch + 1) % tr.save_every == 0:
+            self.ckpt.save(self.state, int(self.state.step), None,
+                           extra_meta=meta, periodic=True)
+        return is_best
+
+    def _train_fast(self) -> Path:
+        tr = self.cfg.training
+        epochs = tr.final_epochs
+        phase1 = tr.phase1_epochs if tr.phase1_epochs is not None else \
+            epochs // 2
+        self._setup_fast_data()
+        self.log.info("stage 3 (fast path): %d epochs x %d scanned steps "
+                      "(joint from epoch %d), batch %d", epochs,
+                      self._fast_len, phase1, self.cfg.data.batch_size)
+        for epoch in range(self.start_epoch, epochs):
+            if epoch >= phase1 and self.phase == "text_encoder":
+                self.switch_to_joint_training()
+            t0 = time.time()
+            stats = self.train_epoch_fast(epoch)
+            val_loss = None
+            if (epoch + 1) % max(tr.val_every, 1) == 0:
+                val_loss = self.validate_fast(epoch)
+                if val_loss < self.best_val:
+                    self.best_val = val_loss
+            self.save_checkpoint_fast(epoch, val_loss)
+            if (epoch + 1) % tr.sample_every == 0:
+                self.generate_samples(epoch)
+            dt = time.time() - t0
+            self.log.info(
+                "epoch %d (%s) done in %.1fs (%.1f steps/s): train %.4f "
+                "clip %.4f val %s", epoch, self.phase, dt,
+                self._fast_len / max(dt, 1e-9), stats["total_loss"],
+                stats["clip_loss"],
+                f"{val_loss:.4f}" if val_loss is not None else "-")
+        if epochs > self.start_epoch:
+            self.ckpt.save(self.state, int(self.state.step), None,
+                           extra_meta={"epoch": epochs - 1,
+                                       "phase": self.phase,
+                                       "config": self.cfg.to_dict()},
+                           periodic=True)
+        self.metrics.flush()
+        return self.ckpt.best_path
+
     # -- phase switch ---------------------------------------------------------
 
     def switch_to_joint_training(self):
@@ -320,8 +465,11 @@ class FinalTrainer:
         self.phase = "joint"
         self.tx = self.tx_phase2
         self.state = TrainState(self.state.step, self.state.params,
-                                self.tx.init(self.state.params), self.state.rng)
+                                self.tx.init(self.state.params), self.state.rng,
+                                self.state.ema)
         self._jit_steps()
+        if hasattr(self, "_fast_epoch"):
+            self._jit_fast()  # tx changed; the scanned body must re-trace
 
     # -- loops ------------------------------------------------------------------
 
@@ -399,6 +547,8 @@ class FinalTrainer:
             self.switch_to_joint_training()
 
     def train(self) -> Path:
+        if self.cfg.training.fast_path and self.mesh is None:
+            return self._train_fast()
         t = self.cfg.training
         epochs = t.final_epochs
         phase1 = t.phase1_epochs if t.phase1_epochs is not None else epochs // 2

@@ -131,6 +131,26 @@ def test_stage1_fast_path_trains(tmp_path):
 
 
 @needs_data
+@pytest.mark.slow
+def test_stage3_fast_path_phase_switch(tmp_path):
+    from psg_tpu.train.stage3_final import FinalTrainer
+
+    cfg = _tiny_cfg(tmp_path)
+    cfg.training.final_epochs = 2
+    cfg.training.phase1_epochs = 1
+    cfg.optimization.ema_decay = 0.0
+    t = FinalTrainer(cfg, vae_checkpoint_path=None,
+                     diffusion_checkpoint_path=None, experiment_name="fp3")
+    t.train_loader.indices = t.train_loader.indices[:6]
+    t.val_loader.indices = t.val_loader.indices[:3]
+    best = t.train()
+    assert int(t.state.step) == 6
+    assert t.phase == "joint"  # switch happened inside the fast loop
+    assert best.exists()
+    assert np.isfinite(float(t.best_val))
+
+
+@needs_data
 def test_eval_batches_padding_weights():
     from psg_tpu.data.dataset import PokemonDataset
     from psg_tpu.text import WordPieceTokenizer

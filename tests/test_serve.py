@@ -97,6 +97,12 @@ def test_batched_serving_on_mesh():
     imgs = gen.generate_batch(["creature"] * 16, num_inference_steps=2, seed=0)
     assert imgs.shape == (16, 64, 64, 3)
     assert np.isfinite(imgs).all()
+    # batch < n_devices still serves: padded to the 'data' axis inside,
+    # sliced back (VERDICT r2 #8)
+    small = gen.generate_batch(["tiny creature"] * 3, num_inference_steps=2,
+                               seed=0)
+    assert small.shape == (3, 64, 64, 3)
+    assert np.isfinite(small).all()
 
 
 def test_gradio_interface_wiring(monkeypatch):
