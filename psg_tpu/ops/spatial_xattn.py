@@ -26,11 +26,19 @@ Gradients: custom_vjp whose backward differentiates the jnp reference body
 (recomputed) — training pays the old price on the backward only; the
 serving chain is forward-only.
 
-Stability note on the segment softmax: the row max is global across heads
-(a per-segment max cannot be reduced on the lane axis in Mosaic), so a
-head whose logits sit far below another head's max underflows exp() —
-with 1/sqrt(hd)-scaled logits of normalized activations the gap is <<80,
-far inside fp32 exp range; the denominator also carries a 1e-30 floor.
+Stability note on the segment softmax: the max subtracted before exp()
+must be PER HEAD.  An earlier revision used the global row max with a
+1e-30 denominator floor; once training grew Q/K weights enough that one
+head's logits sat ~88 below another head's max, that head's exp()
+underflowed fp32 to exact zeros — silently zeroing the head's output in
+the forward and, in the backward, dividing by denom^2 = 1e-60 (which
+underflows to 0) for a 0/0 = NaN.  This was the round-3 stage-1
+"sporadic NaN gradients" root cause (scripts/diag_stage1_nan3.py:
+11M/15M/85M non-finite grad elements with the kernel, zero with XLA
+attention).  The fix: ``sp`` (the per-head key stride) is rounded up to
+the 128-lane tile so each head's score segment is a lane-aligned static
+slice, and each segment subtracts its own max — the denominator is then
+>= exp(0) = 1 by construction and no floor is needed.
 """
 
 from __future__ import annotations
@@ -54,7 +62,6 @@ def _kernel(xn_ref, res_ref, kbd_ref, vst_ref, bias_ref,
     kbd = kbd_ref[0]        # [C, H*S]
     vst = vst_ref[0]        # [H*S, C]
     bias = bias_ref[0]      # [1, H*S]
-    hs = heads * seq
 
     f32 = jnp.float32
 
@@ -65,23 +72,19 @@ def _kernel(xn_ref, res_ref, kbd_ref, vst_ref, bias_ref,
 
     q = dot(xn, wq_ref[:]) + bq_ref[0].astype(f32)      # [TQ, C] fp32
     s = dot((q * scale).astype(xn.dtype), kbd) + bias.astype(f32)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    # fp32 softmax: a bf16 exp was measured NO faster (the VPU runs the
-    # HS-wide elementwise chain at the same rate either way), so keep the
-    # extra precision
-    p = jnp.exp(s - m)                                   # [TQ, H*S]
-
-    # per-head denominators via one-hot aggregation (lane dim can't be
-    # reshape-split in Mosaic): seg[k, h] = 1 iff key k belongs to head h
-    row = jax.lax.broadcasted_iota(jnp.int32, (hs, heads), 0) // seq
-    col = jax.lax.broadcasted_iota(jnp.int32, (hs, heads), 1)
-    seg = (row == col).astype(f32)                       # [H*S, H]
-    # NOTE: pltpu.repeat TILES ([a,b]->[a,b,a,b]), it does not repeat
-    # elementwise, so the broadcast back to [TQ, H*S] goes through the
-    # one-hot matmul (verified on hardware).
-    denom = dot(p, seg) + 1e-30                          # [TQ, H]
-    denom = dot(denom, seg.T)                            # [TQ, H*S]
-    p = (p / denom).astype(xn.dtype)
+    # per-head softmax over lane-aligned static slices (seq is a multiple
+    # of the 128-lane tile, enforced by the wrapper).  The max MUST be per
+    # head: a global row max lets a cold head's exp() underflow to exact
+    # zeros (see module docstring).  fp32 softmax: a bf16 exp was measured
+    # NO faster (the VPU runs the wide elementwise chain at the same rate).
+    parts = []
+    for h in range(heads):
+        sh = s[:, h * seq:(h + 1) * seq]                 # [TQ, S]
+        mh = jnp.max(sh, axis=-1, keepdims=True)
+        ph = jnp.exp(sh - mh)
+        dh = jnp.sum(ph, axis=-1, keepdims=True)         # >= 1 (max col)
+        parts.append(ph / dh)
+    p = jnp.concatenate(parts, axis=-1).astype(xn.dtype)  # [TQ, H*S]
 
     o = dot(p, vst)                                      # [TQ, C] fp32
     out = dot(o.astype(xn.dtype), wp_ref[:]) + bp_ref[0].astype(f32)
@@ -93,11 +96,14 @@ def _ref_impl(xn, res, kbd, vst, bias, wq, bq, wp, bp, *, heads, seq, scale):
     f32 = jnp.float32
     q = jnp.einsum("blc,cd->bld", xn.astype(f32), wq.astype(f32)) + bq
     s = jnp.einsum("blc,bck->blk", (q * scale), kbd.astype(f32)) + bias
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    b, l, hs = p.shape
-    denom = p.reshape(b, l, heads, seq).sum(-1, keepdims=True)
-    p = (p.reshape(b, l, heads, seq) / (denom + 1e-30)).reshape(b, l, hs)
+    b, l, hs = s.shape
+    sh = s.reshape(b, l, heads, seq)
+    # per-head max (NOT global): a global max underflows cold heads' exp()
+    # to zero and NaNs the backward via denom^-2 — see module docstring
+    m = jnp.max(sh, axis=-1, keepdims=True)
+    p = jnp.exp(sh - m)
+    denom = p.sum(-1, keepdims=True)  # >= 1 (the max column contributes 1)
+    p = (p / denom).reshape(b, l, hs)
     o = jnp.einsum("blk,bkc->blc", p, vst.astype(f32))
     out = jnp.einsum("blc,cd->bld", o, wp.astype(f32)) + bp
     return (out + res.astype(f32)).astype(xn.dtype)
@@ -171,7 +177,10 @@ def fused_spatial_xattn(xn, residual, k, v, wq, bq, wp, bp, *,
     if scale is None:
         scale = 1.0 / (hd ** 0.5)
 
-    sp = _round_up(max(s, 8), 8)  # lane-tile-friendly segment length
+    # per-head segment length rounded to the 128-lane tile: each head's
+    # score block is then a lane-aligned static slice inside the kernel
+    # (required for the per-head softmax; see module docstring)
+    sp = _round_up(max(s, 8), 128)
 
     # block-diagonal K/V layout: head h occupies channel rows/cols
     # h*hd..(h+1)*hd and key columns h*sp..h*sp+s

@@ -482,6 +482,39 @@ class VAETrainer:
         save_image_grid(np.asarray(imgs),
                         self.stage_dir / "samples" / f"epoch_{epoch:04d}.png",
                         captions=descs)
+        self.save_recon_grid(epoch, num=num)
+
+    def save_recon_grid(self, epoch: int, num: int = 8):
+        """Deterministic val-split reconstructions (input/recon interleaved)
+        — the color-fidelity evidence VERDICT r2 item 2 asks for; prior
+        samples alone can't show recon quality (vae_trainer.py:459-513
+        logs recons the same way)."""
+        from psg_tpu.data.device_augment import normalize_batch
+
+        idx = np.asarray(self.val_loader.indices[:num])
+        imgs = normalize_batch(jnp.asarray(self.ds.images[idx]))
+        ids = jnp.asarray(self.ds.text_ids[idx])
+        mask = jnp.asarray(self.ds.text_mask[idx])
+        if not hasattr(self, "_recon_fn"):
+            def _recon(params, imgs, ids, mask):
+                text_emb = text_encoder_apply(params["text"], ids, mask,
+                                              self.bert_cfg,
+                                              dtype=self.compute_dtype)
+                out = vae_apply(params["vae"], jax.random.PRNGKey(0), imgs,
+                                text_emb, "generate",
+                                latent_dim=self.cfg.model.latent_dim,
+                                latent_size=self.latent_size,
+                                text_bias=text_bias_from_mask(mask),
+                                dtype=self.compute_dtype)
+                return out["reconstructed"]
+
+            self._recon_fn = jax.jit(_recon)
+        recon = np.asarray(self._recon_fn(self.state.params, imgs, ids, mask),
+                           np.float32)
+        orig = np.asarray(imgs, np.float32)
+        inter = np.stack([orig, recon], 1).reshape((-1,) + orig.shape[1:])
+        save_image_grid(inter,
+                        self.stage_dir / "samples" / f"recon_{epoch:04d}.png")
 
     def save_checkpoint_fast(self, epoch: int, val_loss) -> bool:
         """Light bf16 best (sampling params only) + periodic full states —

@@ -81,6 +81,41 @@ def test_fused_gradients_match(setup):
                                    rtol=2e-3, atol=2e-3)
 
 
+def test_cold_head_no_underflow_nan(setup):
+    """Regression (r3 stage-1 NaN root cause): when one head's logits sit
+    far (>88, the fp32 exp underflow range) below another head's, the
+    softmax must stay per-head — a global row max zeroes the cold head's
+    forward output and NaNs the backward.  Scale the Q projection so head
+    logit magnitudes explode, then require (a) forward parity with the
+    XLA path, (b) finite gradients that match the XLA path's."""
+    params, x, text, mask = setup
+    # amplify Q so scores span hundreds: hot heads >> cold heads
+    params = jax.tree_util.tree_map(lambda a: a, params)
+    params["q"] = {"w": params["q"]["w"] * 120.0, "b": params["q"]["b"]}
+    bias = text_bias_from_mask(mask)
+
+    ref = spatial_cross_attention(params, x, text, num_heads=HEADS,
+                                  text_bias=bias)
+    got = _fused_out(params, x, text, bias, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+    def loss_fused(p, x):
+        return jnp.mean(_fused_out(p, x, text, bias, False) ** 2)
+
+    def loss_ref(p, x):
+        return jnp.mean(spatial_cross_attention(
+            p, x, text, num_heads=HEADS, text_bias=bias) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(params, x)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gr)):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-2)
+
+
 def test_ref_impl_matches_kernel_math(setup):
     """The jnp twin used for the backward equals the kernel output."""
     params, x, text, mask = setup
