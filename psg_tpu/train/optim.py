@@ -100,12 +100,16 @@ def _group_tx(opt_cfg, lr_schedule, max_grad_norm: Optional[float]):
     chain = []
     if max_grad_norm is not None and max_grad_norm > 0:
         chain.append(optax.clip_by_global_norm(max_grad_norm))
+    # mu in bf16 halves first-moment HBM; increments are (1-b1)-scale so
+    # bf16 resolution is ample (config.OptimizationConfig.mu_dtype)
+    mu_dtype = getattr(opt_cfg, "mu_dtype", None)
     if opt_cfg.optimizer == "adamw":
         chain.append(optax.adamw(lr_schedule, b1=opt_cfg.beta1, b2=opt_cfg.beta2,
-                                 eps=opt_cfg.eps, weight_decay=opt_cfg.weight_decay))
+                                 eps=opt_cfg.eps, weight_decay=opt_cfg.weight_decay,
+                                 mu_dtype=mu_dtype))
     elif opt_cfg.optimizer == "adam":
         chain.append(optax.adam(lr_schedule, b1=opt_cfg.beta1, b2=opt_cfg.beta2,
-                                eps=opt_cfg.eps))
+                                eps=opt_cfg.eps, mu_dtype=mu_dtype))
     else:
         raise ValueError(f"unknown optimizer {opt_cfg.optimizer!r}")
     tx = optax.chain(*chain)
