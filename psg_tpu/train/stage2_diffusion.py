@@ -455,10 +455,24 @@ class DiffusionTrainer:
                         captions=descs)
 
     def skipped_batches(self) -> int:
+        """NaN-rejected (apply_if_finite) + norm-rejected
+        (skip_above_global_norm) steps.  The norm guard's counter lives
+        nested inside multi_transform state — sum every leaf reached via a
+        'skipped' dict key so the log shows ALL silent rejections (a run
+        whose healthy grad norms exceed the threshold looks alive while
+        every step is zeroed; see round-3 log)."""
+        total = 0
         try:
-            return int(self.state.opt_state.total_notfinite)
+            total += int(self.state.opt_state.total_notfinite)
         except AttributeError:  # pragma: no cover
-            return 0
+            pass
+        from jax.tree_util import tree_flatten_with_path
+
+        leaves, _ = tree_flatten_with_path(self.state.opt_state)
+        for path, leaf in leaves:
+            if any(getattr(k, "key", None) == "skipped" for k in path):
+                total += int(leaf)
+        return total
 
     def save_checkpoint(self, epoch: int, val_loss: float) -> bool:
         tr = self.cfg.training
