@@ -62,6 +62,27 @@ def serve_bench(steps: int = 50) -> int:
         "text": jit_init(text_encoder_init, k2, bert_cfg, 768),
         "vae": jit_init(vae_init, k3, 8, 768),
     }
+    # prefer trained evidence checkpoints when present so the serving row
+    # measures the real deployed chain, not just random-weight throughput
+    # (VERDICT r2); throughput itself is weight-value independent.
+    weights = "random"
+    from pathlib import Path
+
+    from psg_tpu.core.checkpoint import load_params, load_sample_params
+    vae_ck = Path("experiments/evidence_r3b_vae/checkpoints/vae_best_model.ckpt")
+    diff_ck = Path(
+        "experiments/evidence_r3b_diffusion/checkpoints/diffusion_best_model.ckpt")
+    try:
+        if vae_ck.exists():
+            vt = load_params(str(vae_ck), {"vae": params["vae"],
+                                           "text": params["text"]})
+            params["vae"], params["text"] = vt["vae"], vt["text"]
+            weights = "trained-vae"
+        if diff_ck.exists():
+            params["unet"] = load_sample_params(str(diff_ck), params["unet"])
+            weights = "trained"
+    except Exception:
+        pass
     jax.block_until_ready(params)
     schedule = make_schedule(1000, 1e-4, 0.02, "linear")  # serving schedule
     stride = max(1, 1000 // steps)
@@ -103,7 +124,8 @@ def serve_bench(steps: int = 50) -> int:
         "unit": "sprites/min",
         "vs_baseline": None,
         "detail": {"steps": steps, "unet_evals": 1000 // stride,
-                   "by_batch": rows, "backend": jax.default_backend(),
+                   "by_batch": rows, "weights": weights,
+                   "backend": jax.default_backend(),
                    "device": str(jax.devices()[0])},
     }))
     return 0
