@@ -126,3 +126,43 @@ def test_frozen_params_not_in_opt_state(trainer):
     n_opt_leaves = len(jax.tree_util.tree_leaves(trainer.state.opt_state))
     n_unet_leaves = len(jax.tree_util.tree_leaves(trainer.state.params))
     assert n_opt_leaves <= 2 * n_unet_leaves + 10
+
+
+@needs_data
+def test_norm_skip_counter_surfaces_in_skipped_batches(tmp_path):
+    """skip_above_global_norm rejections must show in skipped_batches():
+    at threshold 0.5 the r3 evidence run silently zeroed most healthy
+    steps while logging 'skipped 0' (only apply_if_finite's NaN counter
+    was read)."""
+    import jax
+
+    cfg = _tiny_cfg(tmp_path)
+    cfg.optimization.skip_grad_norm = 1e-12  # reject every real gradient
+    t = DiffusionTrainer(cfg, vae_checkpoint_path=None, experiment_name="ns")
+    t.train_loader.indices = t.train_loader.indices[:2]
+
+    batch = next(iter(t.train_loader))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()
+             if k in ("image", "text_ids", "text_mask")}
+    before = jax.tree_util.tree_map(lambda x: np.array(x), t.state.params)
+    t.state, _ = t._train_step(t.state, t.frozen, batch)
+    assert t.skipped_batches() == 1
+    # the rejected step must leave params untouched
+    after = t.state.params
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(np.array(a) - b))), after, before)
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+
+
+@needs_data
+def test_mu_dtype_bf16_optimizer_state(tmp_path):
+    """optimization.mu_dtype='bfloat16' must thread through to the Adam
+    first moment (the stage-2 + EMA HBM fit depends on it)."""
+    import jax
+
+    cfg = _tiny_cfg(tmp_path)
+    cfg.optimization.mu_dtype = "bfloat16"
+    t = DiffusionTrainer(cfg, vae_checkpoint_path=None, experiment_name="mu")
+    dtypes = {str(x.dtype) for x in jax.tree_util.tree_leaves(t.state.opt_state)
+              if hasattr(x, "dtype")}
+    assert "bfloat16" in dtypes
