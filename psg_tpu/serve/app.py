@@ -21,11 +21,13 @@ from psg_tpu.serve.hub import resolve_checkpoints
 
 
 def build_generator(config_path=None, experiment_name: str = "pokemon",
-                    overrides=None) -> PokemonGenerator:
+                    overrides=None, schedule: str = "linear",
+                    sampler: str = "renoise") -> PokemonGenerator:
     cfg = load_config(config_path if config_path and Path(config_path).exists()
                       else None, overrides=overrides)
     vae, diff = resolve_checkpoints(cfg, experiment_name)
-    return PokemonGenerator(cfg, vae_checkpoint=vae, diffusion_checkpoint=diff)
+    return PokemonGenerator(cfg, vae_checkpoint=vae, diffusion_checkpoint=diff,
+                            schedule_kind=schedule, sampler=sampler)
 
 
 def create_gradio_interface(generator: PokemonGenerator):
@@ -75,9 +77,19 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out", default="generated.png")
     p.add_argument("--port", type=int, default=7860)
+    # Serving defaults mirror the reference (linear betas + renoise
+    # stepping, gradio_app.py:282-284,344-359), but a checkpoint must be
+    # sampled under its TRAINING beta schedule — stage-2 default is
+    # cosine — and the posterior-variance sampler is the canonical one.
+    p.add_argument("--schedule", default="linear",
+                   choices=["linear", "cosine"],
+                   help="beta schedule; must match the checkpoint's training")
+    p.add_argument("--sampler", default="renoise",
+                   choices=["ddpm", "fast", "x0", "renoise"])
     args = p.parse_args(argv)
 
-    gen = build_generator(args.config, args.experiment_name, args.override)
+    gen = build_generator(args.config, args.experiment_name, args.override,
+                          schedule=args.schedule, sampler=args.sampler)
 
     if args.prompt is not None:
         img = gen.generate_from_text(args.prompt, args.steps, args.seed)

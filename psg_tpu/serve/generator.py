@@ -173,9 +173,10 @@ class PokemonGenerator:
             stride = max(1, self.schedule.num_timesteps // steps)
             latents = fn(denoise, self.schedule, rng, shape=shape,
                          initial_latent=initial_latent, stride=stride)
-        else:
+        else:  # "ddpm" — canonical posterior-variance, strided to `steps`
             latents = fn(denoise, self.schedule, rng, shape=shape,
-                         initial_latent=initial_latent)
+                         initial_latent=initial_latent,
+                         num_inference_steps=steps)
         return vae_decode(params["vae"], latents.astype(text_emb.dtype),
                           text_emb, text_bias=text_bias_from_mask(text_mask),
                           image_size=self.cfg.data.image_size,
