@@ -443,10 +443,17 @@ class DiffusionTrainer:
         self.metrics.scalar("diffusion_val/loss", val, int(self.state.step))
         return val
 
-    def generate_samples(self, epoch: int, num: int = 8, stride: int = 50):
+    def generate_samples(self, epoch: int, num: int = 8,
+                         stride: Optional[int] = None):
         descs = self.ds.full_descriptions[:num]
         ids, mask = self.tokenizer.encode_batch(descs, self.cfg.data.text_len)
         rng = jax.random.fold_in(self.state.rng, 20_000 + epoch)
+        # extra.sample_stride: grid-sampler stride (default 50 = the
+        # reference's fast mode, 20 evals).  The high-t regime is where an
+        # immature model fails — a finer stride (e.g. 10) surfaces
+        # emerging structure hundreds of epochs earlier.
+        if stride is None:
+            stride = int((self.cfg.extra or {}).get("sample_stride", 50))
         imgs = self._sample_fn(self.state.sample_params, self.frozen, rng,
                                jnp.asarray(ids), jnp.asarray(mask),
                                num=num, stride=stride)
