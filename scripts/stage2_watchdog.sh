@@ -1,0 +1,56 @@
+#!/bin/bash
+# Watchdog for the stage-2 evidence run on the tunneled TPU.
+#
+# The axon client intermittently loses an RPC mid-transfer (observed twice
+# this round: device_get hung with all threads in futex_wait and zero
+# tunnel traffic).  Training state is recoverable — best-light checkpoints
+# land every best_every epochs — so the cure is: detect a stale log,
+# kill, resume from the best checkpoint.
+#
+# Usage: scripts/stage2_watchdog.sh  (run detached; writes /tmp/watchdog.log)
+
+LOG=experiments/evidence_r3b_diffusion/logs/diffusion.log
+BEST=experiments/evidence_r3b_diffusion/checkpoints/diffusion_best_model.ckpt
+STALE=480   # seconds without a log write = hung
+WLOG=/tmp/watchdog.log
+
+relaunch() {
+  echo "$(date -u +%T) relaunching from $BEST" >> "$WLOG"
+  setsid nohup timeout 30000 python -u -m psg_tpu.train.cli --stage 2 \
+    --config config/r3_evidence.yaml --experiment-name evidence_r3b \
+    --resume "$BEST" \
+    --override data.batch_size=8 \
+    --override training.diffusion_epochs=1400 \
+    --override training.save_every=1400 \
+    --override training.sample_every=50 \
+    --override training.best_every=50 \
+    --override training.val_every=5 \
+    --override optimization.learning_rate=0.0002 \
+    --override optimization.scheduler=constant \
+    > /tmp/stage2_r3.out 2>&1 < /dev/null &
+  sleep 5
+  ps aux | grep "python -u -m psg_tpu.train.cli" | grep -v grep | awk '{print $2}' | head -1 > /tmp/stage2_r3.pid
+}
+
+while true; do
+  sleep 60
+  [ -f /tmp/stage2_watchdog.stop ] && { echo "$(date -u +%T) stop requested" >> "$WLOG"; exit 0; }
+  if grep -q "stage 2 fast path: .* epochs in" "$LOG" 2>/dev/null; then
+    last=$(stat -c %Y "$LOG"); now=$(date +%s)
+    if [ $((now - last)) -gt 600 ]; then
+      echo "$(date -u +%T) run complete" >> "$WLOG"; exit 0
+    fi
+  fi
+  last=$(stat -c %Y "$LOG" 2>/dev/null || echo 0); now=$(date +%s)
+  if [ $((now - last)) -gt $STALE ]; then
+    pid=$(ps aux | grep "python -u -m psg_tpu.train.cli" | grep -v grep | awk '{print $2}')
+    echo "$(date -u +%T) stale ${STALE}s (pids: $pid) — restarting" >> "$WLOG"
+    [ -n "$pid" ] && kill $pid 2>/dev/null
+    sleep 5
+    pid=$(ps aux | grep "python -u -m psg_tpu.train.cli" | grep -v grep | awk '{print $2}')
+    [ -n "$pid" ] && kill -9 $pid 2>/dev/null
+    sleep 3
+    relaunch
+    sleep 300   # grace for compile
+  fi
+done
