@@ -11,7 +11,8 @@
 
 LOG=experiments/evidence_r3b_diffusion/logs/diffusion.log
 BEST=experiments/evidence_r3b_diffusion/checkpoints/diffusion_best_model.ckpt
-STALE=480   # seconds without a log write = hung
+STALE=720   # seconds without a log write = hung (relaunch->first epoch
+            # line takes ~8 min: frozen-VAE load + remote compile)
 WLOG=/tmp/watchdog.log
 
 relaunch() {
@@ -51,6 +52,6 @@ while true; do
     [ -n "$pid" ] && kill -9 $pid 2>/dev/null
     sleep 3
     relaunch
-    sleep 300   # grace for compile
+    sleep 540   # grace for load + remote compile before staleness checks
   fi
 done
