@@ -1,5 +1,6 @@
 from psg_tpu.diffusion.schedule import DiffusionSchedule, make_schedule
 from psg_tpu.diffusion.sampling import (
+    ddim_sample,
     ddpm_sample,
     ddpm_sample_fast,
     ddpm_sample_renoise,
@@ -9,6 +10,7 @@ from psg_tpu.diffusion.sampling import (
 __all__ = [
     "DiffusionSchedule",
     "make_schedule",
+    "ddim_sample",
     "ddpm_sample",
     "ddpm_sample_fast",
     "ddpm_sample_renoise",

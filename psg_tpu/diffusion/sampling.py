@@ -180,6 +180,79 @@ def ddpm_sample_x0(denoise_fn: Callable, schedule: DiffusionSchedule, key,
     return x
 
 
+def ddim_sample(denoise_fn: Callable, schedule: DiffusionSchedule, key,
+                shape=None, initial_latent=None,
+                num_inference_steps: int = 50, eta: float = 0.0,
+                clip_x0: Optional[float] = None, guidance_scale: float = 0.0,
+                uncond_denoise_fn: Optional[Callable] = None):
+    """DDIM (Song et al. 2020) — the framework's *correct* strided sampler.
+
+    Not present in the reference: all four reference samplers stride by
+    repeating SINGLE-step posterior updates at visited timesteps
+    (improved_diffusion_trainer.py:508-569, final_trainer.py:52-71,
+    diffusers_trainer.py:76-100, gradio_app.py:297-361), each of which
+    removes only a 1/T-schedule's worth of noise — from a prior draw, 20-100
+    such micro-steps cannot reach the data manifold.  DDIM jumps between
+    *visited* timesteps through the predicted x0, so K steps traverse the
+    whole chain:
+
+        x0_hat  = (x_t - sqrt(1-acp_t) eps) / sqrt(acp_t)      [clip opt.]
+        x_next  = sqrt(acp_next) x0_hat
+                  + sqrt(1-acp_next - sigma^2) eps + sigma z
+        sigma   = eta sqrt((1-acp_next)/(1-acp_t)) sqrt(1-acp_t/acp_next)
+
+    eta=0 is deterministic DDIM; eta=1 matches DDPM's posterior noise at
+    stride 1.  ``clip_x0`` clips the x0 prediction (the stage-2 latents are
+    trained clamped to +-latent_clamp, so +-3 is the principled value —
+    stabilises the high-t steps).  ``guidance_scale`` > 0 applies
+    classifier-free guidance: eps = (1+g) eps_cond - g eps_uncond, with
+    ``uncond_denoise_fn`` supplying the unconditional branch.
+    """
+    T = schedule.num_timesteps
+    steps = min(num_inference_steps, T)
+    key, kinit = jax.random.split(key)
+    x = _init_latent(kinit, shape, initial_latent)
+    b = x.shape[0]
+
+    ts = jnp.round(jnp.linspace(T - 1, 0, steps)).astype(jnp.int32)
+    acp_t = schedule.alphas_cumprod[ts]
+    acp_next = jnp.concatenate([schedule.alphas_cumprod[ts[1:]],
+                                jnp.ones((1,), jnp.float32)])
+    eta_f = float(eta)
+    sigma = eta_f * jnp.sqrt(
+        jnp.maximum((1.0 - acp_next) / (1.0 - acp_t), 0.0)
+        * jnp.maximum(1.0 - acp_t / acp_next, 0.0))
+    tables = (
+        ts,
+        jnp.sqrt(jnp.maximum(1.0 - acp_t, 0.0)),
+        1.0 / jnp.sqrt(acp_t),
+        jnp.sqrt(acp_next),
+        jnp.sqrt(jnp.maximum(1.0 - acp_next - sigma**2, 0.0)),
+        sigma,
+    )
+    g = float(guidance_scale)
+
+    def body(carry, tab):
+        x, k = carry
+        t, s_om, r_acp, s_next, dir_coeff, sig = tab
+        tb = jnp.full((b,), t, jnp.int32)
+        eps = denoise_fn(x, tb).astype(jnp.float32)
+        if g > 0.0 and uncond_denoise_fn is not None:
+            eps_u = uncond_denoise_fn(x, tb).astype(jnp.float32)
+            eps = (1.0 + g) * eps - g * eps_u
+        x0_hat = (x - s_om * eps) * r_acp
+        if clip_x0 is not None:
+            x0_hat = jnp.clip(x0_hat, -clip_x0, clip_x0)
+        x = s_next * x0_hat + dir_coeff * eps
+        if eta_f > 0.0:
+            k, kn = jax.random.split(k)
+            x = x + sig * jax.random.normal(kn, x.shape, jnp.float32)
+        return (x, k), None
+
+    (x, _), _ = lax.scan(body, (x, key), tables)
+    return x
+
+
 def ddpm_sample_renoise(denoise_fn: Callable, schedule: DiffusionSchedule, key,
                         shape=None, initial_latent=None,
                         num_inference_steps: int = 50, noises=None):

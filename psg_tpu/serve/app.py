@@ -22,12 +22,14 @@ from psg_tpu.serve.hub import resolve_checkpoints
 
 def build_generator(config_path=None, experiment_name: str = "pokemon",
                     overrides=None, schedule: str = "linear",
-                    sampler: str = "renoise") -> PokemonGenerator:
+                    sampler: str = "renoise",
+                    guidance: float = 0.0) -> PokemonGenerator:
     cfg = load_config(config_path if config_path and Path(config_path).exists()
                       else None, overrides=overrides)
     vae, diff = resolve_checkpoints(cfg, experiment_name)
     return PokemonGenerator(cfg, vae_checkpoint=vae, diffusion_checkpoint=diff,
-                            schedule_kind=schedule, sampler=sampler)
+                            schedule_kind=schedule, sampler=sampler,
+                            guidance_scale=guidance)
 
 
 def create_gradio_interface(generator: PokemonGenerator):
@@ -85,11 +87,18 @@ def main(argv=None) -> int:
                    choices=["linear", "cosine"],
                    help="beta schedule; must match the checkpoint's training")
     p.add_argument("--sampler", default="renoise",
-                   choices=["ddpm", "fast", "x0", "renoise"])
+                   choices=["ddim", "ddpm", "fast", "x0", "renoise"],
+                   help="'ddim' is the quality sampler (correct striding, "
+                        "x0 clipping, optional CFG); the rest are "
+                        "reference-parity variants")
+    p.add_argument("--guidance", type=float, default=0.0,
+                   help="classifier-free guidance scale (ddim sampler only; "
+                        "needs a checkpoint trained with extra.cond_dropout)")
     args = p.parse_args(argv)
 
     gen = build_generator(args.config, args.experiment_name, args.override,
-                          schedule=args.schedule, sampler=args.sampler)
+                          schedule=args.schedule, sampler=args.sampler,
+                          guidance=args.guidance)
 
     if args.prompt is not None:
         img = gen.generate_from_text(args.prompt, args.steps, args.seed)

@@ -32,6 +32,7 @@ from psg_tpu.core.checkpoint import load_state
 from psg_tpu.core.config import Config
 from psg_tpu.diffusion import make_schedule
 from psg_tpu.diffusion.sampling import (
+    ddim_sample,
     ddpm_sample,
     ddpm_sample_fast,
     ddpm_sample_renoise,
@@ -53,7 +54,8 @@ from psg_tpu.train.state import TrainState
 from psg_tpu.utils.images import pil_to_array, tensor_to_pil
 
 _SAMPLERS = {
-    "renoise": ddpm_sample_renoise,   # serving default (gradio variant)
+    "ddim": ddim_sample,              # quality default: correct striding + CFG
+    "renoise": ddpm_sample_renoise,   # gradio parity variant
     "ddpm": ddpm_sample,              # canonical posterior-variance
     "fast": ddpm_sample_fast,
     "x0": ddpm_sample_x0,
@@ -63,7 +65,7 @@ _SAMPLERS = {
 class PokemonGenerator:
     def __init__(self, cfg: Config, vae_checkpoint=None, diffusion_checkpoint=None,
                  tokenizer=None, mesh=None, schedule_kind: str = "linear",
-                 sampler: str = "renoise"):
+                 sampler: str = "renoise", guidance_scale: float = 0.0):
         self.cfg = cfg
         self.compute_dtype = (
             jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None
@@ -75,6 +77,7 @@ class PokemonGenerator:
         self.schedule = make_schedule(m.num_timesteps, m.beta_start, m.beta_end,
                                       schedule_kind)
         self.sampler_name = sampler
+        self.guidance_scale = float(guidance_scale)
         self.mesh = mesh
 
         if tokenizer is None:
@@ -161,7 +164,24 @@ class PokemonGenerator:
         shape = (num, self.latent_size, self.latent_size,
                  self.cfg.model.latent_dim)
         fn = _SAMPLERS[sampler]
-        if sampler == "renoise":
+        if sampler == "ddim":
+            uncond = None
+            if self.guidance_scale > 0.0:
+                zero_emb = jnp.zeros_like(text_emb)
+
+                def uncond(x, t):  # CFG against the cond-dropout zero embedding
+                    return unet_apply(params["unet"], x.astype(text_emb.dtype),
+                                      t, zero_emb, self.spec,
+                                      text_mask=text_mask,
+                                      dtype=self.compute_dtype)
+
+            latents = fn(denoise, self.schedule, rng, shape=shape,
+                         initial_latent=initial_latent,
+                         num_inference_steps=steps,
+                         clip_x0=self.cfg.model.latent_clamp,
+                         guidance_scale=self.guidance_scale,
+                         uncond_denoise_fn=uncond)
+        elif sampler == "renoise":
             latents = fn(denoise, self.schedule, rng, shape=shape,
                          initial_latent=initial_latent,
                          num_inference_steps=steps)

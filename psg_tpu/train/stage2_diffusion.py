@@ -39,7 +39,7 @@ from psg_tpu.core.config import Config
 from psg_tpu.core.metrics import MetricsWriter, Throughput, setup_logging
 from psg_tpu.core.stability import global_norm
 from psg_tpu.data import make_loaders
-from psg_tpu.diffusion import ddpm_sample_fast, make_schedule
+from psg_tpu.diffusion import ddim_sample, ddpm_sample_fast, make_schedule
 from psg_tpu.models.losses import mse_loss, smooth_l1_loss
 from psg_tpu.models.text_encoder import text_encoder_apply, text_encoder_init
 from psg_tpu.models.unet import UNetSpec, text_bias_from_mask, unet_apply, unet_init
@@ -186,11 +186,23 @@ class DiffusionTrainer:
             self.frozen = jax.device_put(self.frozen, replicated(mesh))
         self.start_epoch = 0
         self.best_val = float("inf")
-        self.loss_kind = (cfg.extra or {}).get("diffusion_loss", "smooth_l1")
+        extra = cfg.extra or {}
+        self.loss_kind = extra.get("diffusion_loss", "smooth_l1")
+        # extra.snr_gamma: min-SNR-gamma loss weighting (Hang et al. 2023),
+        # w_t = min(SNR_t, gamma)/SNR_t for eps-prediction.  The eps loss
+        # implicitly scales the x0 error by SNR_t, drowning the low-SNR
+        # (high-t) steps where global structure forms — exactly the regime
+        # the round-3 x0 diagnostic showed failing.  0/None disables.
+        self.snr_gamma = float(extra.get("snr_gamma", 0.0) or 0.0)
+        # extra.cond_dropout: per-sample probability of replacing the text
+        # conditioning with the zero embedding during training — trains the
+        # unconditional branch classifier-free guidance samples against.
+        self.cond_dropout = float(extra.get("cond_dropout", 0.0) or 0.0)
 
         self._train_step = jax.jit(self._step, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval)
-        self._sample_fn = jax.jit(self._sample, static_argnames=("num", "stride"))
+        self._sample_fn = jax.jit(self._sample, static_argnames=(
+            "num", "stride", "sampler", "steps", "guidance"))
 
     # -- setup ---------------------------------------------------------------
 
@@ -223,11 +235,12 @@ class DiffusionTrainer:
     # -- jitted fns -----------------------------------------------------------
 
     def _noise_loss_emb(self, unet_params, frozen_vae, images, text_emb,
-                        text_mask, rng, dropout_key=None, sample_weights=None):
+                        text_mask, rng, dropout_key=None, sample_weights=None,
+                        train: bool = True):
         """Diffusion loss from images + precomputed text embeddings (the
         text encoder is frozen in stage 2, so the fast path computes all
         embeddings once up front)."""
-        k_rep, k_t, k_noise = jax.random.split(rng, 3)
+        k_rep, k_t, k_noise, k_cond = jax.random.split(rng, 4)
         mu, logvar = vae_encoder_apply(frozen_vae["encoder"], images,
                                        dtype=self.compute_dtype)
         latent = reparameterize(k_rep, mu, logvar)
@@ -237,23 +250,32 @@ class DiffusionTrainer:
         t = jax.random.randint(k_t, (b,), 0, self.schedule.num_timesteps)
         noise = jax.random.normal(k_noise, latent.shape, jnp.float32)
         noisy = self.schedule.add_noise(latent, noise, t)
+        if train and self.cond_dropout > 0.0:
+            keep = (jax.random.uniform(k_cond, (b,) + (1,) * (text_emb.ndim - 1))
+                    >= self.cond_dropout).astype(text_emb.dtype)
+            text_emb = text_emb * keep
         pred = unet_apply(unet_params, noisy.astype(latent.dtype), t, text_emb,
                           self.spec, text_mask=text_mask,
                           dtype=self.compute_dtype, dropout_key=dropout_key)
+        if train and self.snr_gamma > 0.0:
+            acp = self.schedule.alphas_cumprod[t]
+            snr = acp / jnp.maximum(1.0 - acp, 1e-8)
+            w = jnp.minimum(snr, self.snr_gamma) / jnp.maximum(snr, 1e-8)
+            sample_weights = w if sample_weights is None else w * sample_weights
         if self.loss_kind == "mse":
             return mse_loss(pred, noise, sample_weights=sample_weights)
         return smooth_l1_loss(pred, noise, beta=0.1,
                               sample_weights=sample_weights)
 
     def _noise_loss(self, unet_params, frozen, batch, rng, dropout_key=None,
-                    sample_weights=None):
+                    sample_weights=None, train: bool = True):
         text_emb = text_encoder_apply(frozen["text"], batch["text_ids"],
                                       batch["text_mask"], self.bert_cfg,
                                       dtype=self.compute_dtype)
         return self._noise_loss_emb(unet_params, frozen["vae"], batch["image"],
                                     text_emb, batch["text_mask"], rng,
                                     dropout_key=dropout_key,
-                                    sample_weights=sample_weights)
+                                    sample_weights=sample_weights, train=train)
 
     def _apply_update(self, state: TrainState, loss, grads):
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
@@ -322,7 +344,7 @@ class DiffusionTrainer:
             loss = self._noise_loss_emb(
                 state.params, frozen["vae"], normalize_batch(batch["images"]),
                 batch["text_emb"], batch["text_mask"], rng,
-                sample_weights=batch["weight"])
+                sample_weights=batch["weight"], train=False)
             w = jnp.sum(batch["weight"])
             return (carry[0] + loss * w, carry[1] + w), None
 
@@ -377,11 +399,12 @@ class DiffusionTrainer:
         rng = jax.random.fold_in(state.rng, jnp.int32(-2))
         w = (jnp.arange(batch["image"].shape[0]) < valid).astype(jnp.float32)
         loss = self._noise_loss(state.params, frozen, batch, rng,
-                                sample_weights=w)
+                                sample_weights=w, train=False)
         return {"loss": loss}
 
     def _sample(self, unet_params, frozen, rng, text_ids, text_mask, *,
-                num: int, stride: int = 50):
+                num: int, stride: int = 50, sampler: str = "ddim",
+                steps: int = 100, guidance: float = 0.0):
         text_emb = text_encoder_apply(frozen["text"], text_ids, text_mask,
                                       self.bert_cfg, dtype=self.compute_dtype)
         mask_bias = text_bias_from_mask(text_mask)
@@ -392,8 +415,25 @@ class DiffusionTrainer:
                               dtype=self.compute_dtype)
 
         shape = (num, self.latent_size, self.latent_size, self.cfg.model.latent_dim)
-        latents = ddpm_sample_fast(denoise, self.schedule, rng, shape=shape,
-                                   stride=stride)
+        if sampler == "fast":
+            # the reference's strided sampler (parity mode)
+            latents = ddpm_sample_fast(denoise, self.schedule, rng, shape=shape,
+                                       stride=stride)
+        else:
+            uncond = None
+            if guidance > 0.0:
+                zero_emb = jnp.zeros_like(text_emb)
+
+                def uncond(x, t):  # noqa: F811 — cond-dropout's zero embedding
+                    return unet_apply(unet_params, x.astype(text_emb.dtype), t,
+                                      zero_emb, self.spec, text_mask=text_mask,
+                                      dtype=self.compute_dtype)
+
+            latents = ddim_sample(denoise, self.schedule, rng, shape=shape,
+                                  num_inference_steps=steps,
+                                  clip_x0=self.cfg.model.latent_clamp,
+                                  guidance_scale=guidance,
+                                  uncond_denoise_fn=uncond)
         return vae_decode(frozen["vae"], latents.astype(text_emb.dtype), text_emb,
                           text_bias=mask_bias, image_size=self.cfg.data.image_size,
                           dtype=self.compute_dtype)
@@ -448,15 +488,21 @@ class DiffusionTrainer:
         descs = self.ds.full_descriptions[:num]
         ids, mask = self.tokenizer.encode_batch(descs, self.cfg.data.text_len)
         rng = jax.random.fold_in(self.state.rng, 20_000 + epoch)
-        # extra.sample_stride: grid-sampler stride (default 50 = the
-        # reference's fast mode, 20 evals).  The high-t regime is where an
-        # immature model fails — a finer stride (e.g. 10) surfaces
-        # emerging structure hundreds of epochs earlier.
+        # Epoch grids default to DDIM (extra.sample_sampler='fast' restores
+        # the reference's strided sampler, with extra.sample_stride).  The
+        # reference's striding repeats single-step posterior updates, which
+        # cannot traverse the chain from a prior draw — round 3's confetti
+        # grids at stride 50 were largely THIS sampler artifact (see
+        # diffusion/sampling.py::ddim_sample).
+        extra = self.cfg.extra or {}
         if stride is None:
-            stride = int((self.cfg.extra or {}).get("sample_stride", 50))
+            stride = int(extra.get("sample_stride", 50))
         imgs = self._sample_fn(self.state.sample_params, self.frozen, rng,
                                jnp.asarray(ids), jnp.asarray(mask),
-                               num=num, stride=stride)
+                               num=num, stride=stride,
+                               sampler=str(extra.get("sample_sampler", "ddim")),
+                               steps=int(extra.get("sample_steps", 100)),
+                               guidance=float(extra.get("sample_guidance", 0.0)))
         save_image_grid(np.asarray(imgs),
                         self.stage_dir / "samples" / f"epoch_{epoch:04d}.png",
                         captions=descs)

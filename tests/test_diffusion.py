@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from psg_tpu.diffusion import (
+    ddim_sample,
     ddpm_sample,
     ddpm_sample_fast,
     ddpm_sample_renoise,
@@ -108,6 +109,103 @@ def test_more_steps_changes_output():
     out10 = ddpm_sample_renoise(denoise, sched, key, shape=SHAPE, num_inference_steps=10)
     out50 = ddpm_sample_renoise(denoise, sched, key, shape=SHAPE, num_inference_steps=50)
     assert float(jnp.mean(jnp.abs(out10 - out50))) > 1e-3
+
+
+def _gaussian_optimal_denoise(sched, data_std: float):
+    """The exact Bayes-optimal eps predictor for x0 ~ N(0, data_std^2 I):
+    E[eps | x_t] = sqrt(1-acp_t) x_t / (acp_t s^2 + 1 - acp_t).  A sampler
+    that implements the reverse chain correctly must map the prior to
+    (approximately) N(0, data_std^2) when driven by this denoiser."""
+    acp = sched.alphas_cumprod
+    s2 = data_std * data_std
+
+    def denoise(x, t):
+        a = acp[t].reshape((-1,) + (1,) * (x.ndim - 1))
+        return jnp.sqrt(1.0 - a) * x / (a * s2 + (1.0 - a))
+
+    return denoise
+
+
+_DIST_SHAPE = (512, 4, 4, 3)
+
+
+@pytest.mark.parametrize("steps", [20, 50])
+def test_ddim_strided_preserves_data_variance(steps):
+    """The property that makes DDIM the framework's quality sampler: driven
+    by the Bayes-optimal denoiser for N(0, 2^2) data, a *strided* DDIM chain
+    still lands on the data distribution (std ~= 2).  The reference's strided
+    samplers cannot — contrast case below.  Measured here: ddim@50 -> 1.94,
+    ddim@20 -> 1.86, fast@50 -> 1.03, renoise@50 -> 0.94."""
+    sched = make_schedule(1000, 1e-4, 0.02, "cosine")
+    denoise = _gaussian_optimal_denoise(sched, 2.0)
+    out = ddim_sample(denoise, sched, jax.random.PRNGKey(8),
+                      shape=_DIST_SHAPE, num_inference_steps=steps, eta=0.0)
+    assert 1.7 < float(jnp.std(out)) < 2.2
+
+
+def test_reference_strided_samplers_stay_at_prior_variance():
+    """Contrast case: the reference's strided samplers repeat SINGLE-step
+    posterior updates at visited timesteps, each removing only a
+    1/T-schedule's worth of noise, so from a prior draw they never reach the
+    data distribution (std stays ~1 instead of 2) — the documented reason
+    the epoch-grid/serving default moved to DDIM."""
+    sched = make_schedule(1000, 1e-4, 0.02, "cosine")
+    denoise = _gaussian_optimal_denoise(sched, 2.0)
+    fast = ddpm_sample_fast(denoise, sched, jax.random.PRNGKey(8),
+                            shape=_DIST_SHAPE, stride=50)
+    assert float(jnp.std(fast)) < 1.3
+    ren = ddpm_sample_renoise(denoise, sched, jax.random.PRNGKey(8),
+                              shape=_DIST_SHAPE, num_inference_steps=50)
+    assert float(jnp.std(ren)) < 1.3
+
+
+def test_ddim_eta0_deterministic_and_finite():
+    sched = make_schedule(100, 1e-4, 0.02, "cosine")
+    key = jax.random.PRNGKey(9)
+    a = ddim_sample(_zero_denoise, sched, key, shape=SHAPE,
+                    num_inference_steps=10)
+    b = ddim_sample(_zero_denoise, sched, key, shape=SHAPE,
+                    num_inference_steps=10)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert bool(jnp.all(jnp.isfinite(a)))
+    # eta>0 injects noise -> differs from eta=0
+    c = ddim_sample(_zero_denoise, sched, key, shape=SHAPE,
+                    num_inference_steps=10, eta=1.0)
+    assert float(jnp.max(jnp.abs(a - c))) > 1e-4
+
+
+def test_ddim_clip_x0_bounds_output():
+    sched = make_schedule(50, 1e-4, 0.02, "linear")
+
+    def big_denoise(x, t):
+        return -5.0 * jnp.ones_like(x)  # drives x0_hat far positive
+
+    out = ddim_sample(big_denoise, sched, jax.random.PRNGKey(10), shape=SHAPE,
+                      num_inference_steps=50, eta=0.0, clip_x0=3.0)
+    assert float(jnp.max(out)) <= 3.0 + 1e-5
+
+
+def test_ddim_cfg_interpolates_branches():
+    """guidance 0 == conditional branch; guidance>0 moves away from the
+    unconditional branch along (eps_c - eps_u)."""
+    sched = make_schedule(50, 1e-4, 0.02, "cosine")
+    key = jax.random.PRNGKey(11)
+
+    def eps_c(x, t):
+        return 0.1 * x
+
+    def eps_u(x, t):
+        return -0.1 * x
+
+    base = ddim_sample(eps_c, sched, key, shape=SHAPE, num_inference_steps=10)
+    guided = ddim_sample(eps_c, sched, key, shape=SHAPE,
+                         num_inference_steps=10, guidance_scale=2.0,
+                         uncond_denoise_fn=eps_u)
+    same = ddim_sample(eps_c, sched, key, shape=SHAPE,
+                       num_inference_steps=10, guidance_scale=2.0,
+                       uncond_denoise_fn=eps_c)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(base), rtol=1e-5)
+    assert float(jnp.mean(jnp.abs(guided - base))) > 1e-4
 
 
 def test_initial_latent_is_respected():
