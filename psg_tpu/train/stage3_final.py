@@ -37,7 +37,7 @@ from psg_tpu.core.config import Config
 from psg_tpu.core.metrics import MetricsWriter, setup_logging
 from psg_tpu.core.stability import global_norm
 from psg_tpu.data import make_loaders
-from psg_tpu.diffusion import ddpm_sample, make_schedule
+from psg_tpu.diffusion import ddim_sample, ddpm_sample, make_schedule
 from psg_tpu.models.clip import ClipConfig, clip_alignment_loss, clip_init
 from psg_tpu.models.losses import l1_loss, mse_loss
 from psg_tpu.models.text_encoder import text_encoder_apply, text_encoder_init
@@ -182,7 +182,8 @@ class FinalTrainer:
     def _jit_steps(self):
         self._train_step = jax.jit(self._step, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval)
-        self._sample_fn = jax.jit(self._sample, static_argnames=("num", "steps"))
+        self._sample_fn = jax.jit(self._sample,
+                                  static_argnames=("num", "steps", "sampler"))
 
     # -- setup -----------------------------------------------------------------
 
@@ -290,9 +291,12 @@ class FinalTrainer:
         return parts
 
     def _sample(self, params, rng, text_ids, text_mask, *, num: int,
-                steps: int = 50):
-        """Full text->sprite chain with the posterior-variance sampler
-        (FinalPokemonGenerator.forward, final_trainer.py:165-213)."""
+                steps: int = 50, sampler: str = "ddim"):
+        """Full text->sprite chain.  Default DDIM (correct striding — the
+        eps-form posterior sampler repeats single-step updates at visited
+        timesteps and stays near the prior, tests/test_diffusion.py);
+        ``sampler='ddpm'`` restores exact FinalPokemonGenerator.forward
+        parity (final_trainer.py:165-213)."""
         text_emb = text_encoder_apply(params["text"], text_ids, text_mask,
                                       self.bert_cfg, dtype=self.compute_dtype)
 
@@ -302,11 +306,15 @@ class FinalTrainer:
                               dtype=self.compute_dtype)
 
         shape = (num, self.latent_size, self.latent_size, self.cfg.model.latent_dim)
-        # strided eps-form posterior sampler — exactly
-        # FinalPokemonGenerator.forward (final_trainer.py:186-204); the x0
-        # form belongs to the diffusers trainer only
-        latents = ddpm_sample(denoise, self.schedule, rng, shape=shape,
-                              num_inference_steps=steps)
+        if sampler == "ddpm":
+            # strided eps-form posterior sampler — exactly
+            # FinalPokemonGenerator.forward (final_trainer.py:186-204)
+            latents = ddpm_sample(denoise, self.schedule, rng, shape=shape,
+                                  num_inference_steps=steps)
+        else:
+            latents = ddim_sample(denoise, self.schedule, rng, shape=shape,
+                                  num_inference_steps=steps,
+                                  clip_x0=self.cfg.model.latent_clamp)
         return vae_decode(params["vae"], latents.astype(text_emb.dtype), text_emb,
                           text_bias=text_bias_from_mask(text_mask),
                           image_size=self.cfg.data.image_size,
@@ -514,12 +522,16 @@ class FinalTrainer:
         self.metrics.scalar("final_val/total_loss", val, int(self.state.step))
         return val
 
-    def generate_samples(self, epoch: int, num: int = 4, steps: int = 50):
+    def generate_samples(self, epoch: int, num: int = 4, steps: int = None):
         descs = self.ds.full_descriptions[:num]
         ids, mask = self.tokenizer.encode_batch(descs, self.cfg.data.text_len)
         rng = jax.random.fold_in(self.state.rng, 30_000 + epoch)
+        extra = self.cfg.extra or {}
+        if steps is None:
+            steps = int(extra.get("sample_steps", 100))
         imgs = self._sample_fn(self.state.params, rng, jnp.asarray(ids),
-                               jnp.asarray(mask), num=num, steps=steps)
+                               jnp.asarray(mask), num=num, steps=steps,
+                               sampler=str(extra.get("sample_sampler", "ddim")))
         save_image_grid(np.asarray(imgs),
                         self.stage_dir / "samples" / f"final_epoch_{epoch:04d}.png",
                         captions=descs)

@@ -28,6 +28,8 @@ relaunch() {
     --override training.val_every=5 \
     --override optimization.learning_rate=0.0002 \
     --override optimization.scheduler=constant \
+    --override extra.cond_dropout=0.1 \
+    --override extra.snr_gamma=5.0 \
     > /tmp/stage2_r3.out 2>&1 < /dev/null &
   sleep 5
   ps aux | grep "python -u -m psg_tpu.train.cli" | grep -v grep | awk '{print $2}' | head -1 > /tmp/stage2_r3.pid
