@@ -20,13 +20,29 @@ from psg_tpu.serve.generator import PokemonGenerator
 from psg_tpu.serve.hub import resolve_checkpoints
 
 
+def _schedule_from_checkpoint(diff_ckpt) -> str:
+    """A checkpoint must be sampled under its TRAINING beta schedule; the
+    sidecar JSON written next to every .ckpt records it.  (Round-3 finding:
+    serving hardcoded the reference's linear betas while the stage-2
+    evidence runs train on cosine — a silent quality killer.)"""
+    import json
+
+    try:
+        meta = json.loads(Path(diff_ckpt).with_suffix(".json").read_text())
+        return str(meta["config"]["model"]["beta_schedule"])
+    except Exception:
+        return "linear"
+
+
 def build_generator(config_path=None, experiment_name: str = "pokemon",
-                    overrides=None, schedule: str = "linear",
+                    overrides=None, schedule: str = "auto",
                     sampler: str = "renoise",
                     guidance: float = 0.0) -> PokemonGenerator:
     cfg = load_config(config_path if config_path and Path(config_path).exists()
                       else None, overrides=overrides)
     vae, diff = resolve_checkpoints(cfg, experiment_name)
+    if schedule == "auto":
+        schedule = _schedule_from_checkpoint(diff) if diff else "linear"
     return PokemonGenerator(cfg, vae_checkpoint=vae, diffusion_checkpoint=diff,
                             schedule_kind=schedule, sampler=sampler,
                             guidance_scale=guidance)
@@ -79,14 +95,14 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out", default="generated.png")
     p.add_argument("--port", type=int, default=7860)
-    # Serving defaults mirror the reference (linear betas + renoise
-    # stepping, gradio_app.py:282-284,344-359), but a checkpoint must be
-    # sampled under its TRAINING beta schedule — stage-2 default is
-    # cosine — and the posterior-variance sampler is the canonical one.
-    p.add_argument("--schedule", default="linear",
-                   choices=["linear", "cosine"],
-                   help="beta schedule; must match the checkpoint's training")
-    p.add_argument("--sampler", default="renoise",
+    # Default schedule 'auto' reads the checkpoint's training schedule from
+    # its sidecar JSON (a checkpoint must be sampled under the schedule it
+    # trained on); --sampler renoise mirrors the reference's gradio
+    # stepping (gradio_app.py:282-284,344-359) — use 'ddim' for quality.
+    p.add_argument("--schedule", default="auto",
+                   choices=["auto", "linear", "cosine"],
+                   help="beta schedule; 'auto' reads the checkpoint sidecar")
+    p.add_argument("--sampler", default="ddim",
                    choices=["ddim", "ddpm", "fast", "x0", "renoise"],
                    help="'ddim' is the quality sampler (correct striding, "
                         "x0 clipping, optional CFG); the rest are "
