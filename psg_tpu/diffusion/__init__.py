@@ -4,6 +4,7 @@ from psg_tpu.diffusion.sampling import (
     ddpm_sample,
     ddpm_sample_fast,
     ddpm_sample_renoise,
+    dpmpp_2m_sample,
     ddpm_sample_x0,
 )
 
@@ -14,5 +15,6 @@ __all__ = [
     "ddpm_sample",
     "ddpm_sample_fast",
     "ddpm_sample_renoise",
+    "dpmpp_2m_sample",
     "ddpm_sample_x0",
 ]

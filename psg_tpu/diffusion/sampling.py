@@ -253,6 +253,90 @@ def ddim_sample(denoise_fn: Callable, schedule: DiffusionSchedule, key,
     return x
 
 
+def dpmpp_2m_sample(denoise_fn: Callable, schedule: DiffusionSchedule, key,
+                    shape=None, initial_latent=None,
+                    num_inference_steps: int = 25,
+                    clip_x0: Optional[float] = None,
+                    guidance_scale: float = 0.0,
+                    uncond_denoise_fn: Optional[Callable] = None):
+    """DPM-Solver++(2M) (Lu et al. 2022), data-prediction multistep form.
+
+    Second-order ODE solver in lambda = log(alpha/sigma) time: each step
+    extrapolates the x0 prediction linearly from the previous two
+    evaluations, so ~10-25 UNet evals match what DDIM needs 50-100 for —
+    4-10x fewer evals per served sprite at equal quality (the serving
+    throughput lever on top of bench.py's per-eval rate).  Not in the
+    reference (its samplers are all first-order single-step repeats).
+
+        D_i     = (x_i - sigma_i eps_i) / alpha_i          [clip opt.]
+        Dhat_i  = (1 + 1/(2 r_i)) D_i - 1/(2 r_i) D_{i-1},  r_i = h_{i-1}/h_i
+        x_{i+1} = (sigma_{i+1}/sigma_i) x_i
+                  + alpha_{i+1} (1 - e^{-h_{i+1}}) Dhat_i
+
+    The final (virtual) target is acp=1 where the update degenerates to
+    x = Dhat — the solver lands exactly on its extrapolated x0.
+    ``guidance_scale``/``uncond_denoise_fn``: classifier-free guidance as
+    in :func:`ddim_sample`.
+    """
+    import numpy as np
+
+    T = schedule.num_timesteps
+    steps = min(num_inference_steps, T)
+    key, kinit = jax.random.split(key)
+    x = _init_latent(kinit, shape, initial_latent)
+    b = x.shape[0]
+
+    ts_np = np.round(np.linspace(T - 1, 0, steps)).astype(np.int64)
+    acp = np.asarray(schedule.alphas_cumprod, np.float64)[ts_np]
+    alpha = np.sqrt(acp)
+    sigma = np.sqrt(1.0 - acp)
+    lam = np.log(alpha) - np.log(np.maximum(sigma, 1e-12))
+    # virtual final state: acp=1 (alpha=1, sigma=0, lambda=+inf)
+    alpha_n = np.concatenate([alpha[1:], [1.0]])
+    sigma_n = np.concatenate([sigma[1:], [0.0]])
+    h = np.concatenate([lam[1:], [np.inf]]) - lam          # h_{i+1} per step i
+    c_x = np.where(sigma > 0, sigma_n / np.maximum(sigma, 1e-12), 0.0)
+    c_d = alpha_n * (1.0 - np.exp(-h))                      # -> 1 at final
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = np.concatenate([[1.0], h[:-1]]) / h             # r_i = h_{i-1}/h_i
+        w_cur = 1.0 + 1.0 / (2.0 * r)
+    # first step has no history and the final step (h=inf -> r=0) is taken
+    # first-order, as in standard 2M implementations
+    w_cur[0] = 1.0
+    w_cur = np.where(~np.isfinite(w_cur) | (r <= 0), 1.0, w_cur)
+    w_prev = 1.0 - w_cur
+
+    tables = tuple(
+        jnp.asarray(v, jnp.float32) for v in
+        (sigma, 1.0 / alpha, c_x, c_d, w_cur, w_prev)
+    ) + (jnp.asarray(ts_np, jnp.int32),)
+    tables = (tables[-1],) + tables[:-1]
+    g = float(guidance_scale)
+
+    def body(carry, tab):
+        x, d_prev, has_prev = carry
+        t, sig, r_alpha, cx, cd, wc, wp = tab
+        tb = jnp.full((b,), t, jnp.int32)
+        eps = denoise_fn(x, tb).astype(jnp.float32)
+        if g > 0.0 and uncond_denoise_fn is not None:
+            eps_u = uncond_denoise_fn(x, tb).astype(jnp.float32)
+            eps = (1.0 + g) * eps - g * eps_u
+        d = (x - sig * eps) * r_alpha
+        if clip_x0 is not None:
+            d = jnp.clip(d, -clip_x0, clip_x0)
+        # first step has no history: fall back to Euler (w=1/0) regardless
+        # of the table weights
+        wc_eff = jnp.where(has_prev, wc, 1.0)
+        wp_eff = jnp.where(has_prev, wp, 0.0)
+        d_hat = wc_eff * d + wp_eff * d_prev
+        x = cx * x + cd * d_hat
+        return (x, d, jnp.ones((), jnp.bool_)), None
+
+    init = (x, jnp.zeros_like(x), jnp.zeros((), jnp.bool_))
+    (x, _, _), _ = lax.scan(body, init, tables)
+    return x
+
+
 def ddpm_sample_renoise(denoise_fn: Callable, schedule: DiffusionSchedule, key,
                         shape=None, initial_latent=None,
                         num_inference_steps: int = 50, noises=None):

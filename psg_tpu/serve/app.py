@@ -103,10 +103,11 @@ def main(argv=None) -> int:
                    choices=["auto", "linear", "cosine"],
                    help="beta schedule; 'auto' reads the checkpoint sidecar")
     p.add_argument("--sampler", default="ddim",
-                   choices=["ddim", "ddpm", "fast", "x0", "renoise"],
+                   choices=["ddim", "dpmpp", "ddpm", "fast", "x0", "renoise"],
                    help="'ddim' is the quality sampler (correct striding, "
-                        "x0 clipping, optional CFG); the rest are "
-                        "reference-parity variants")
+                        "x0 clipping, optional CFG); 'dpmpp' is 2nd-order "
+                        "DPM-Solver++(2M) (DDIM@50 quality in ~10 evals); "
+                        "the rest are reference-parity variants")
     p.add_argument("--guidance", type=float, default=0.0,
                    help="classifier-free guidance scale (ddim sampler only; "
                         "needs a checkpoint trained with extra.cond_dropout)")

@@ -39,7 +39,8 @@ from psg_tpu.core.config import Config
 from psg_tpu.core.metrics import MetricsWriter, Throughput, setup_logging
 from psg_tpu.core.stability import global_norm
 from psg_tpu.data import make_loaders
-from psg_tpu.diffusion import ddim_sample, ddpm_sample_fast, make_schedule
+from psg_tpu.diffusion import (ddim_sample, ddpm_sample_fast, dpmpp_2m_sample,
+                               make_schedule)
 from psg_tpu.models.losses import mse_loss, smooth_l1_loss
 from psg_tpu.models.text_encoder import text_encoder_apply, text_encoder_init
 from psg_tpu.models.unet import UNetSpec, text_bias_from_mask, unet_apply, unet_init
@@ -419,6 +420,10 @@ class DiffusionTrainer:
             # the reference's strided sampler (parity mode)
             latents = ddpm_sample_fast(denoise, self.schedule, rng, shape=shape,
                                        stride=stride)
+        elif sampler == "dpmpp":
+            latents = dpmpp_2m_sample(denoise, self.schedule, rng, shape=shape,
+                                      num_inference_steps=steps,
+                                      clip_x0=self.cfg.model.latent_clamp)
         else:
             uncond = None
             if guidance > 0.0:

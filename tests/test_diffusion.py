@@ -12,6 +12,7 @@ from psg_tpu.diffusion import (
     ddpm_sample,
     ddpm_sample_fast,
     ddpm_sample_renoise,
+    dpmpp_2m_sample,
     ddpm_sample_x0,
     make_schedule,
 )
@@ -157,6 +158,54 @@ def test_reference_strided_samplers_stay_at_prior_variance():
     ren = ddpm_sample_renoise(denoise, sched, jax.random.PRNGKey(8),
                               shape=_DIST_SHAPE, num_inference_steps=50)
     assert float(jnp.std(ren)) < 1.3
+
+
+@pytest.mark.parametrize("steps", [10, 25])
+def test_dpmpp_2m_preserves_data_variance_at_few_steps(steps):
+    """DPM-Solver++(2M) is the few-step quality sampler: its 2nd-order
+    lambda-space extrapolation hits the data distribution at 10 evals where
+    DDIM needs 50+ (measured: dpmpp@10 -> 1.999, ddim@10 -> 1.73,
+    ddim@50 -> 1.94 for N(0, 2^2) data)."""
+    sched = make_schedule(1000, 1e-4, 0.02, "cosine")
+    denoise = _gaussian_optimal_denoise(sched, 2.0)
+    out = dpmpp_2m_sample(denoise, sched, jax.random.PRNGKey(8),
+                          shape=_DIST_SHAPE, num_inference_steps=steps)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert 1.9 < float(jnp.std(out)) < 2.1
+
+
+def test_dpmpp_2m_deterministic_clip_and_cfg():
+    sched = make_schedule(100, 1e-4, 0.02, "cosine")
+    key = jax.random.PRNGKey(9)
+    a = dpmpp_2m_sample(_zero_denoise, sched, key, shape=SHAPE,
+                        num_inference_steps=10)
+    b = dpmpp_2m_sample(_zero_denoise, sched, key, shape=SHAPE,
+                        num_inference_steps=10)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def big_denoise(x, t):
+        return -5.0 * jnp.ones_like(x)
+
+    out = dpmpp_2m_sample(big_denoise, sched, jax.random.PRNGKey(10),
+                          shape=SHAPE, num_inference_steps=20, clip_x0=3.0)
+    assert float(jnp.max(out)) <= 3.0 + 1e-5
+
+    def eps_c(x, t):
+        return 0.1 * x
+
+    def eps_u(x, t):
+        return -0.1 * x
+
+    base = dpmpp_2m_sample(eps_c, sched, key, shape=SHAPE,
+                           num_inference_steps=10)
+    guided = dpmpp_2m_sample(eps_c, sched, key, shape=SHAPE,
+                             num_inference_steps=10, guidance_scale=2.0,
+                             uncond_denoise_fn=eps_u)
+    same = dpmpp_2m_sample(eps_c, sched, key, shape=SHAPE,
+                           num_inference_steps=10, guidance_scale=2.0,
+                           uncond_denoise_fn=eps_c)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(base), rtol=1e-5)
+    assert float(jnp.mean(jnp.abs(guided - base))) > 1e-4
 
 
 def test_ddim_eta0_deterministic_and_finite():
