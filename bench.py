@@ -51,16 +51,27 @@ def serve_bench(steps: int = 50) -> int:
     from psg_tpu.models.unet import UNetSpec, text_bias_from_mask, unet_apply, unet_init
     from psg_tpu.models.vae import vae_decode, vae_init
 
-    spec = UNetSpec(text_dim=768, num_heads=4)
-    bert_cfg = BertConfig.base()
+    import os
+
+    smoke = bool(os.environ.get("PSG_BENCH_SMOKE"))
+    if smoke:  # tiny shapes: validates the bench code path off-TPU
+        spec = UNetSpec(text_dim=48, num_heads=2, time_emb_dim=32,
+                        channels=(16, 24, 32, 32), spatial=(8, 4, 2, 1))
+        bert_cfg = BertConfig.tiny_test()
+    else:
+        spec = UNetSpec(text_dim=768, num_heads=4)
+        bert_cfg = BertConfig.base()
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     to_bf16 = lambda t: jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16), t)
+    image_size, latent_size = (64, 8) if smoke else (215, 27)
+    width_scale = 0.25 if smoke else 1.0
     params = {
         "unet": jax.jit(lambda k: to_bf16(unet_init(k, spec)))(k1),
-        "text": jit_init(text_encoder_init, k2, bert_cfg, 768),
-        "vae": jit_init(vae_init, k3, 8, 768),
+        "text": jit_init(text_encoder_init, k2, bert_cfg, spec.text_dim),
+        "vae": jit_init(vae_init, k3, 8, spec.text_dim,
+                        width_scale=width_scale),
     }
     # prefer trained evidence checkpoints when present so the serving row
     # measures the real deployed chain, not just random-weight throughput
@@ -73,21 +84,32 @@ def serve_bench(steps: int = 50) -> int:
     diff_ck = Path(
         "experiments/evidence_r3b_diffusion/checkpoints/diffusion_best_model.ckpt")
     try:
-        if vae_ck.exists():
+        if vae_ck.exists() and not smoke:
             vt = load_params(str(vae_ck), {"vae": params["vae"],
                                            "text": params["text"]})
             params["vae"], params["text"] = vt["vae"], vt["text"]
             weights = "trained-vae"
-        if diff_ck.exists():
+        if diff_ck.exists() and not smoke:
             params["unet"] = load_sample_params(str(diff_ck), params["unet"])
             weights = "trained"
     except Exception:
         pass
     jax.block_until_ready(params)
-    schedule = make_schedule(1000, 1e-4, 0.02, "linear")  # serving schedule
+    from psg_tpu.diffusion import dpmpp_2m_sample
+    # sample under the TRAINING schedule when the trained checkpoint loads
+    # (its sidecar records it; serving's --schedule auto does the same)
+    kind = "linear"
+    if weights == "trained":
+        import json as _json
+        try:
+            kind = _json.loads(diff_ck.with_suffix(".json").read_text())[
+                "config"]["model"]["beta_schedule"]
+        except Exception:
+            pass
+    schedule = make_schedule(1000, 1e-4, 0.02, kind)
     stride = max(1, 1000 // steps)
 
-    def chain(p, ids, mask, rng):
+    def chain(p, ids, mask, rng, *, sampler: str):
         emb = text_encoder_apply(p["text"], ids, mask, bert_cfg,
                                  dtype=jnp.bfloat16)
 
@@ -96,35 +118,49 @@ def serve_bench(steps: int = 50) -> int:
                               text_mask=mask, dtype=jnp.bfloat16)
 
         b = ids.shape[0]
-        latents = ddpm_sample_fast(denoise, schedule, rng,
-                                   shape=(b, 27, 27, 8), stride=stride)
+        if sampler == "dpmpp":
+            # quality chain: 2nd-order solver needs ~10 evals for the
+            # 50-eval first-order chain's quality (tests/test_diffusion.py)
+            latents = dpmpp_2m_sample(denoise, schedule, rng,
+                                      shape=(b, latent_size, latent_size, 8),
+                                      num_inference_steps=10, clip_x0=3.0)
+        else:
+            latents = ddpm_sample_fast(denoise, schedule, rng,
+                                       shape=(b, latent_size, latent_size, 8), stride=stride)
         return vae_decode(p["vae"], latents.astype(emb.dtype), emb,
                           text_bias=text_bias_from_mask(mask),
-                          image_size=215, dtype=jnp.bfloat16)
+                          image_size=image_size, dtype=jnp.bfloat16)
 
     rows = {}
-    jchain = jax.jit(chain)
-    for batch in (8, 64):
-        ids = jnp.ones((batch, 128), jnp.int32)
-        mask = jnp.ones((batch, 128), jnp.int32)
-        out = jchain(params, ids, mask, jax.random.PRNGKey(1))
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        reps = 3
-        for i in range(reps):
-            out = jchain(params, ids, mask, jax.random.PRNGKey(2 + i))
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / reps
-        rows[batch] = {"seconds_per_batch": round(dt, 3),
-                       "sprites_per_min": round(batch * 60.0 / dt, 1)}
+    jchain = jax.jit(chain, static_argnames=("sampler",))
+    for sampler in ("fast", "dpmpp"):
+        srows = {}
+        for batch in (8, 64):
+            ids = jnp.ones((batch, 128), jnp.int32)
+            mask = jnp.ones((batch, 128), jnp.int32)
+            out = jchain(params, ids, mask, jax.random.PRNGKey(1),
+                         sampler=sampler)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            reps = 3
+            for i in range(reps):
+                out = jchain(params, ids, mask, jax.random.PRNGKey(2 + i),
+                             sampler=sampler)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / reps
+            srows[batch] = {"seconds_per_batch": round(dt, 3),
+                            "sprites_per_min": round(batch * 60.0 / dt, 1)}
+        rows[sampler] = srows
 
     print(json.dumps({
         "metric": "serving_sprites_per_min_per_chip",
-        "value": rows[64]["sprites_per_min"],
+        "value": rows["dpmpp"][64]["sprites_per_min"],
         "unit": "sprites/min",
         "vs_baseline": None,
-        "detail": {"steps": steps, "unet_evals": 1000 // stride,
-                   "by_batch": rows, "weights": weights,
+        "detail": {"headline": "dpmpp@10 (quality ~= 50-eval first-order)",
+                   "steps": steps, "unet_evals": 1000 // stride,
+                   "by_sampler": rows, "weights": weights,
+                   "schedule": kind,
                    "backend": jax.default_backend(),
                    "device": str(jax.devices()[0])},
     }))
