@@ -7,10 +7,12 @@ sampler — the reference's strided samplers provably stay at the prior,
 tests/test_diffusion.py::test_reference_strided_samplers_stay_at_prior_variance).
 
 Usage:
-  python scripts/ddim_evidence.py [experiment_name] [steps] [out.png] [guidance]
+  python scripts/ddim_evidence.py [experiment_name] [steps] [out.png] \
+      [guidance] [sampler]
 
-Defaults: evidence_r3b, 200 steps, docs/samples/ddim_sprites_r3.png, 0.0.
-Runs on whatever backend JAX picks (TPU: ~2-4 min incl. compile).
+Defaults: evidence_r3b, 200 steps, docs/samples/ddim_sprites_r3.png, 0.0,
+ddim ('dpmpp' = DPM-Solver++(2M), ~10-25 steps suffice).  Runs on whatever
+backend JAX picks (TPU: ~2-4 min incl. compile).
 """
 
 from __future__ import annotations
@@ -41,18 +43,19 @@ def main() -> int:
     out = Path(sys.argv[3] if len(sys.argv) > 3 else
                "docs/samples/ddim_sprites_r3.png")
     guidance = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
+    sampler = sys.argv[5] if len(sys.argv) > 5 else "ddim"
 
     overrides = [
         "data.csv_path=/root/reference/data/text_description_concat.csv",
         "data.image_dir=/root/reference/data/small_images",
     ]
     gen = build_generator(None, name, overrides,
-                          schedule="cosine", sampler="ddim",
+                          schedule="auto", sampler=sampler,
                           guidance=guidance)
     imgs = gen.generate_batch(PROMPTS, num_inference_steps=steps, seed=7)
     out.parent.mkdir(parents=True, exist_ok=True)
     save_image_grid(imgs, out, captions=PROMPTS)
-    print(f"wrote {out} ({len(PROMPTS)} prompts, ddim steps={steps}, "
+    print(f"wrote {out} ({len(PROMPTS)} prompts, {sampler} steps={steps}, "
           f"guidance={guidance})")
     return 0
 
