@@ -109,8 +109,13 @@ def main(argv=None) -> int:
                         "DPM-Solver++(2M) (DDIM@50 quality in ~10 evals); "
                         "the rest are reference-parity variants")
     p.add_argument("--guidance", type=float, default=0.0,
-                   help="classifier-free guidance scale (ddim sampler only; "
+                   help="classifier-free guidance scale (ddim/dpmpp only; "
                         "needs a checkpoint trained with extra.cond_dropout)")
+    p.add_argument("--restarts", type=int, default=0,
+                   help="restart-sampling passes after the base chain "
+                        "(re-encode, re-noise at --restart-strength, "
+                        "resample) — markedly solidifies structure")
+    p.add_argument("--restart-strength", type=float, default=0.9)
     args = p.parse_args(argv)
 
     gen = build_generator(args.config, args.experiment_name, args.override,
@@ -118,7 +123,9 @@ def main(argv=None) -> int:
                           guidance=args.guidance)
 
     if args.prompt is not None:
-        img = gen.generate_from_text(args.prompt, args.steps, args.seed)
+        img = gen.generate_from_text(args.prompt, args.steps, args.seed,
+                                     restarts=args.restarts,
+                                     restart_strength=args.restart_strength)
         img.save(args.out)
         print(f"wrote {args.out}")
         return 0

@@ -211,16 +211,43 @@ class PokemonGenerator:
             seed = int(np.random.randint(0, 2**31 - 1))
         return jax.random.PRNGKey(seed)
 
+    def _restart_passes(self, imgs, ids, mask, key, *, steps, num, sampler,
+                        restarts: int, strength: float):
+        """Restart sampling (cf. Xu et al. 2023): re-encode the draft, mix
+        hard with fresh noise, resample.  Measured on the trained
+        checkpoint: one 0.9-strength restart markedly solidifies structure
+        and prompt color vs the single pass (docs/samples/ — the denoiser
+        is much stronger given any data seed than from the pure prior)."""
+        for i in range(restarts):
+            k_enc, k_noise, k_sample, key = jax.random.split(
+                jax.random.fold_in(key, 100 + i), 4)
+            latent = self._encode_image(self.params, k_enc, imgs)
+            noise = jax.random.normal(k_noise, latent.shape, latent.dtype)
+            latent = latent * (1.0 - strength) + noise * strength
+            imgs = self._generate(self.params, k_sample, ids, mask, latent,
+                                  steps=steps, num=num, sampler=sampler)
+        return imgs
+
     def generate_from_text(self, description: str,
                            num_inference_steps: int = 50,
-                           seed: Optional[int] = None) -> Image.Image:
-        """gradio_app.py:363-392."""
+                           seed: Optional[int] = None,
+                           restarts: int = 0,
+                           restart_strength: float = 0.9) -> Image.Image:
+        """gradio_app.py:363-392.  ``restarts`` > 0 runs that many restart
+        passes after the base chain (see :meth:`_restart_passes`)."""
         ids, mask = self.tokenizer.encode_batch([description],
                                                 self.cfg.data.text_len)
-        imgs = self._generate(self.params, self._key(seed), jnp.asarray(ids),
-                              jnp.asarray(mask), None,
+        ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+        key = self._key(seed)
+        imgs = self._generate(self.params, key, ids, mask, None,
                               steps=num_inference_steps, num=1,
                               sampler=self.sampler_name)
+        if restarts > 0:
+            imgs = self._restart_passes(imgs, ids, mask, key,
+                                        steps=num_inference_steps, num=1,
+                                        sampler=self.sampler_name,
+                                        restarts=restarts,
+                                        strength=restart_strength)
         return tensor_to_pil(np.asarray(imgs[0]))
 
     def generate_from_image_and_text(self, input_image: Image.Image,
@@ -247,7 +274,9 @@ class PokemonGenerator:
     def generate_batch(self, descriptions: Sequence[str],
                        num_inference_steps: int = 50,
                        seed: Optional[int] = None,
-                       sampler: Optional[str] = None) -> np.ndarray:
+                       sampler: Optional[str] = None,
+                       restarts: int = 0,
+                       restart_strength: float = 0.9) -> np.ndarray:
         """Batched sharded serving: N descriptions -> [N,H,W,3] in [-1,1].
 
         With a mesh, the batch is sharded over 'data' (ICI collectives via
@@ -273,7 +302,14 @@ class PokemonGenerator:
                                   batch_sharding(self.mesh, 2))
         else:
             ids, mask = jnp.asarray(ids), jnp.asarray(mask)
-        imgs = self._generate(self.params, self._key(seed), ids, mask, None,
+        key = self._key(seed)
+        imgs = self._generate(self.params, key, ids, mask, None,
                               steps=num_inference_steps, num=num,
                               sampler=sampler or self.sampler_name)
+        if restarts > 0:
+            imgs = self._restart_passes(imgs, ids, mask, key,
+                                        steps=num_inference_steps, num=num,
+                                        sampler=sampler or self.sampler_name,
+                                        restarts=restarts,
+                                        strength=restart_strength)
         return np.asarray(imgs)[:n]

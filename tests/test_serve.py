@@ -54,6 +54,25 @@ def test_seeded_determinism(gen):
 
 
 @needs_data
+def test_restart_sampling(gen):
+    """restarts>0 re-encodes the draft, renoises, resamples — output must
+    differ from the base chain, stay valid, and be seed-deterministic."""
+    base = gen.generate_from_text("a blue turtle", num_inference_steps=4,
+                                  seed=5)
+    r1 = gen.generate_from_text("a blue turtle", num_inference_steps=4,
+                                seed=5, restarts=1)
+    r1b = gen.generate_from_text("a blue turtle", num_inference_steps=4,
+                                 seed=5, restarts=1)
+    assert r1.size == base.size
+    assert not np.array_equal(np.asarray(base), np.asarray(r1))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r1b))
+    # batch path accepts restarts too
+    out = gen.generate_batch(["a", "b"], num_inference_steps=4, seed=5,
+                             restarts=1)
+    assert out.shape[0] == 2
+
+
+@needs_data
 def test_img2img(gen):
     src = Image.fromarray(
         (np.random.RandomState(0).rand(80, 80, 3) * 255).astype(np.uint8))
