@@ -44,6 +44,7 @@ def main() -> int:
                "docs/samples/ddim_sprites_r3.png")
     guidance = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
     sampler = sys.argv[5] if len(sys.argv) > 5 else "ddim"
+    restarts = int(sys.argv[6]) if len(sys.argv) > 6 else 0
 
     overrides = [
         "data.csv_path=/root/reference/data/text_description_concat.csv",
@@ -52,11 +53,12 @@ def main() -> int:
     gen = build_generator(None, name, overrides,
                           schedule="auto", sampler=sampler,
                           guidance=guidance)
-    imgs = gen.generate_batch(PROMPTS, num_inference_steps=steps, seed=7)
+    imgs = gen.generate_batch(PROMPTS, num_inference_steps=steps, seed=7,
+                              restarts=restarts)
     out.parent.mkdir(parents=True, exist_ok=True)
     save_image_grid(imgs, out, captions=PROMPTS)
     print(f"wrote {out} ({len(PROMPTS)} prompts, {sampler} steps={steps}, "
-          f"guidance={guidance})")
+          f"guidance={guidance}, restarts={restarts})")
     return 0
 
 
