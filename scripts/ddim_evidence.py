@@ -37,6 +37,17 @@ PROMPTS = [
 ]
 
 
+def dataset_prompts(n: int = 8):
+    """First n training captions (name + description), so the grid is
+    directly comparable to the real sprites the captions describe."""
+    from psg_tpu.data.dataset import full_description, read_description_csv
+
+    rows = read_description_csv(
+        "/root/reference/data/text_description_concat.csv")
+    return [full_description(r["english_name"], r["description"])
+            for r in rows[:n]]
+
+
 def main() -> int:
     name = sys.argv[1] if len(sys.argv) > 1 else "evidence_r3b"
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 200
@@ -45,6 +56,8 @@ def main() -> int:
     guidance = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
     sampler = sys.argv[5] if len(sys.argv) > 5 else "ddim"
     restarts = int(sys.argv[6]) if len(sys.argv) > 6 else 0
+    prompts = (dataset_prompts() if len(sys.argv) > 7
+               and sys.argv[7] == "dataset" else PROMPTS)
 
     overrides = [
         "data.csv_path=/root/reference/data/text_description_concat.csv",
@@ -53,11 +66,11 @@ def main() -> int:
     gen = build_generator(None, name, overrides,
                           schedule="auto", sampler=sampler,
                           guidance=guidance)
-    imgs = gen.generate_batch(PROMPTS, num_inference_steps=steps, seed=7,
+    imgs = gen.generate_batch(prompts, num_inference_steps=steps, seed=7,
                               restarts=restarts)
     out.parent.mkdir(parents=True, exist_ok=True)
-    save_image_grid(imgs, out, captions=PROMPTS)
-    print(f"wrote {out} ({len(PROMPTS)} prompts, {sampler} steps={steps}, "
+    save_image_grid(imgs, out, captions=prompts)
+    print(f"wrote {out} ({len(prompts)} prompts, {sampler} steps={steps}, "
           f"guidance={guidance}, restarts={restarts})")
     return 0
 
