@@ -72,6 +72,21 @@ def test_restart_sampling(gen):
     assert out.shape[0] == 2
 
 
+def test_schedule_auto_from_sidecar(tmp_path):
+    """--schedule auto must read the checkpoint's training beta schedule
+    from its sidecar JSON and fall back to linear when absent."""
+    import json
+
+    from psg_tpu.serve.app import _schedule_from_checkpoint
+
+    ck = tmp_path / "diffusion_best_model.ckpt"
+    ck.write_bytes(b"")
+    ck.with_suffix(".json").write_text(json.dumps(
+        {"config": {"model": {"beta_schedule": "cosine"}}}))
+    assert _schedule_from_checkpoint(ck) == "cosine"
+    assert _schedule_from_checkpoint(tmp_path / "missing.ckpt") == "linear"
+
+
 @needs_data
 def test_img2img(gen):
     src = Image.fromarray(
