@@ -231,9 +231,17 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
 
 def _parse_value(s: str) -> Any:
     try:
-        return yaml.safe_load(s)
+        v = yaml.safe_load(s)
     except yaml.YAMLError:
         return s
+    if isinstance(v, str):
+        # YAML 1.1 reads exponent-form floats without a dot ("1e-5") as
+        # strings; numeric CLI overrides must stay numeric
+        try:
+            return float(v)
+        except ValueError:
+            return v
+    return v
 
 
 def apply_overrides(cfg: Config, overrides) -> Config:
@@ -245,14 +253,21 @@ def apply_overrides(cfg: Config, overrides) -> Config:
         parts = path.split(".")
         obj: Any = cfg
         for p in parts[:-1]:
-            obj = getattr(obj, p)
+            # ``extra`` (and its nested keys) are open-ended dicts
+            if isinstance(obj, dict):
+                obj = obj.setdefault(p, {})
+            else:
+                obj = getattr(obj, p)
         leaf = parts[-1]
-        if not hasattr(obj, leaf):
-            raise ValueError(f"unknown config key {path!r}")
         parsed = _parse_value(value)
         if isinstance(parsed, list):
             parsed = tuple(parsed)
-        setattr(obj, leaf, parsed)
+        if isinstance(obj, dict):
+            obj[leaf] = parsed
+        else:
+            if not hasattr(obj, leaf):
+                raise ValueError(f"unknown config key {path!r}")
+            setattr(obj, leaf, parsed)
     return cfg
 
 

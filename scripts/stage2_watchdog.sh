@@ -7,10 +7,15 @@
 # land every best_every epochs — so the cure is: detect a stale log,
 # kill, resume from the best checkpoint.
 #
+# The supervised trainer PID is tracked in /tmp/stage2_r3.pid (never kill
+# by ps-pattern: other psg_tpu CLI runs — e.g. a CPU stage-3 run — share
+# the same command line).
+#
 # Usage: scripts/stage2_watchdog.sh  (run detached; writes /tmp/watchdog.log)
 
 LOG=experiments/evidence_r3b_diffusion/logs/diffusion.log
 BEST=experiments/evidence_r3b_diffusion/checkpoints/diffusion_best_model.ckpt
+PIDFILE=/tmp/stage2_r3.pid
 STALE=720   # seconds without a log write = hung (relaunch->first epoch
             # line takes ~8 min: frozen-VAE load + remote compile)
 WLOG=/tmp/watchdog.log
@@ -31,8 +36,16 @@ relaunch() {
     --override extra.cond_dropout=0.1 \
     --override extra.snr_gamma=5.0 \
     > /tmp/stage2_r3.out 2>&1 < /dev/null &
-  sleep 5
-  ps aux | grep "python -u -m psg_tpu.train.cli" | grep -v grep | awk '{print $2}' | head -1 > /tmp/stage2_r3.pid
+  echo $! > "$PIDFILE"
+}
+
+kill_trainer() {
+  pid=$(cat "$PIDFILE" 2>/dev/null)
+  if [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null; then
+    kill "$pid" 2>/dev/null
+    sleep 5
+    kill -9 "$pid" 2>/dev/null
+  fi
 }
 
 while true; do
@@ -46,12 +59,8 @@ while true; do
   fi
   last=$(stat -c %Y "$LOG" 2>/dev/null || echo 0); now=$(date +%s)
   if [ $((now - last)) -gt $STALE ]; then
-    pid=$(ps aux | grep "python -u -m psg_tpu.train.cli" | grep -v grep | awk '{print $2}')
-    echo "$(date -u +%T) stale ${STALE}s (pids: $pid) — restarting" >> "$WLOG"
-    [ -n "$pid" ] && kill $pid 2>/dev/null
-    sleep 5
-    pid=$(ps aux | grep "python -u -m psg_tpu.train.cli" | grep -v grep | awk '{print $2}')
-    [ -n "$pid" ] && kill -9 $pid 2>/dev/null
+    echo "$(date -u +%T) stale ${STALE}s — restarting" >> "$WLOG"
+    kill_trainer
     sleep 3
     relaunch
     sleep 540   # grace for load + remote compile before staleness checks
