@@ -229,6 +229,25 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
     return cfg
 
 
+def apply_device(cfg: "Config") -> None:
+    """Honor ``device: cpu`` (YAML or ``--override device=cpu``).
+
+    This box pins ``JAX_PLATFORMS`` to a TPU plugin, so the env var alone
+    cannot force CPU; the config update must land before JAX initializes
+    its backends.  No-op for any other device string (JAX picks the
+    platform as usual).  Reference-config compat: the reference selects
+    mps/cuda/cpu from its ``device`` key at startup (train_3stage.py).
+    """
+    if str(cfg.device).lower() == "cpu":
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError as e:  # backends already initialized
+            log.warning("device=cpu requested but JAX already initialized "
+                        "(%s) — platform unchanged", e)
+
+
 def _parse_value(s: str) -> Any:
     try:
         v = yaml.safe_load(s)

@@ -41,6 +41,27 @@ def test_override_extra_nested_dict_created():
     assert cfg.extra["optimization"]["unet_lr"] == pytest.approx(1e-5)
 
 
+def test_apply_device_cpu_forces_platform():
+    """device=cpu must win even when the environment pins a TPU plugin
+    platform (JAX_PLATFORMS env alone does not override the pin on such
+    hosts — serving/training CLIs call apply_device before backend init)."""
+    import subprocess
+    import sys
+
+    code = (
+        "from psg_tpu.core.config import Config, apply_device\n"
+        "c = Config(); c.device = 'cpu'\n"
+        "apply_device(c)\n"
+        "import jax\n"
+        "assert jax.default_backend() == 'cpu', jax.default_backend()\n"
+        "print('ok')\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=180, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ok" in r.stdout
+
+
 def test_override_string_values_stay_strings():
     cfg = apply_overrides(Config(), [
         "model.bert_model=google-bert/bert-base-uncased"])
