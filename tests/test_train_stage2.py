@@ -166,3 +166,55 @@ def test_mu_dtype_bf16_optimizer_state(tmp_path):
     dtypes = {str(x.dtype) for x in jax.tree_util.tree_leaves(t.state.opt_state)
               if hasattr(x, "dtype")}
     assert "bfloat16" in dtypes
+
+
+@needs_data
+def test_cond_dropout_zeroes_text_conditioning(tmp_path):
+    """extra.cond_dropout=1.0 must make the train loss identical to the
+    loss under a zero text embedding (the unconditional CFG branch)."""
+    import jax
+
+    cfg = _tiny_cfg(tmp_path)
+    cfg.extra = {"cond_dropout": 1.0}
+    t = DiffusionTrainer(cfg, vae_checkpoint_path=None, experiment_name="cd")
+    batch = next(iter(t.train_loader))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()
+             if k in ("image", "text_ids", "text_mask")}
+    rng = jax.random.PRNGKey(0)
+
+    dropped = t._noise_loss(t.state.params, t.frozen, batch, rng, train=True)
+
+    # manually zero the embedding with dropout off
+    t.cond_dropout = 0.0
+    from psg_tpu.models.text_encoder import text_encoder_apply
+
+    text_emb = text_encoder_apply(t.frozen["text"], batch["text_ids"],
+                                  batch["text_mask"], t.bert_cfg,
+                                  dtype=t.compute_dtype)
+    manual = t._noise_loss_emb(t.state.params, t.frozen["vae"], batch["image"],
+                               jnp.zeros_like(text_emb), batch["text_mask"],
+                               rng, train=True)
+    assert float(dropped) == pytest.approx(float(manual), rel=1e-5)
+
+
+@needs_data
+def test_snr_gamma_reweights_loss(tmp_path):
+    """min-SNR-gamma weighting must change the train loss but leave the
+    eval loss (train=False) untouched."""
+    cfg = _tiny_cfg(tmp_path)
+    cfg.extra = {"snr_gamma": 5.0}
+    t = DiffusionTrainer(cfg, vae_checkpoint_path=None, experiment_name="sg")
+    batch = next(iter(t.train_loader))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()
+             if k in ("image", "text_ids", "text_mask")}
+    import jax
+
+    rng = jax.random.PRNGKey(0)
+    weighted = float(t._noise_loss(t.state.params, t.frozen, batch, rng,
+                                   train=True))
+    t.snr_gamma = 0.0
+    plain = float(t._noise_loss(t.state.params, t.frozen, batch, rng,
+                                train=True))
+    assert weighted != pytest.approx(plain)
+    # min(snr,gamma)/snr <= 1 everywhere => weighted loss is smaller
+    assert weighted < plain
