@@ -37,7 +37,8 @@ from psg_tpu.core.config import Config
 from psg_tpu.core.metrics import MetricsWriter, setup_logging
 from psg_tpu.core.stability import global_norm
 from psg_tpu.data import make_loaders
-from psg_tpu.diffusion import ddim_sample, ddpm_sample, make_schedule
+from psg_tpu.diffusion import (ddim_sample, ddpm_sample, dpmpp_2m_sample,
+                               make_schedule)
 from psg_tpu.models.clip import ClipConfig, clip_alignment_loss, clip_init
 from psg_tpu.models.losses import l1_loss, mse_loss
 from psg_tpu.models.text_encoder import text_encoder_apply, text_encoder_init
@@ -311,6 +312,10 @@ class FinalTrainer:
             # FinalPokemonGenerator.forward (final_trainer.py:186-204)
             latents = ddpm_sample(denoise, self.schedule, rng, shape=shape,
                                   num_inference_steps=steps)
+        elif sampler == "dpmpp":
+            latents = dpmpp_2m_sample(denoise, self.schedule, rng, shape=shape,
+                                      num_inference_steps=steps,
+                                      clip_x0=self.cfg.model.latent_clamp)
         else:
             latents = ddim_sample(denoise, self.schedule, rng, shape=shape,
                                   num_inference_steps=steps,
