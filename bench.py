@@ -227,6 +227,10 @@ def train_bench(batch: int = 4, steps: int = 20) -> int:
 
 
 def main() -> int:
+    from psg_tpu.core.config import Config, configure_jax
+
+    configure_jax(Config())  # persistent compile cache (device stays tpu)
+
     import jax
     import jax.numpy as jnp
 

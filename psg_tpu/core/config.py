@@ -248,6 +248,29 @@ def apply_device(cfg: "Config") -> None:
                         "(%s) — platform unchanged", e)
 
 
+def configure_jax(cfg: "Config") -> None:
+    """Process-level JAX setup for the production entry points (training
+    CLI, serving CLI, bench): honor ``device`` and enable the persistent
+    XLA compilation cache so watchdog relaunches / repeat runs skip
+    recompiling identical programs (the same cache that cut the test
+    suite 38 min -> ~10 min on a 1-CPU host).  Cache dir override:
+    ``PSG_TPU_XLA_CACHE`` (empty string disables)."""
+    import os
+
+    apply_device(cfg)
+    cache = os.environ.get("PSG_TPU_XLA_CACHE",
+                           os.path.expanduser("~/.cache/psg_tpu/xla"))
+    if cache:
+        import jax
+
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception as e:  # pragma: no cover - depends on jax version
+            log.warning("compilation cache unavailable: %s", e)
+
+
 def _parse_value(s: str) -> Any:
     try:
         v = yaml.safe_load(s)

@@ -15,7 +15,7 @@ import argparse
 import sys
 from pathlib import Path
 
-from psg_tpu.core.config import apply_device, load_config
+from psg_tpu.core.config import configure_jax, load_config
 from psg_tpu.serve.generator import PokemonGenerator
 from psg_tpu.serve.hub import resolve_checkpoints
 
@@ -40,7 +40,7 @@ def build_generator(config_path=None, experiment_name: str = "pokemon",
                     guidance: float = 0.0) -> PokemonGenerator:
     cfg = load_config(config_path if config_path and Path(config_path).exists()
                       else None, overrides=overrides)
-    apply_device(cfg)
+    configure_jax(cfg)
     vae, diff = resolve_checkpoints(cfg, experiment_name)
     if schedule == "auto":
         schedule = _schedule_from_checkpoint(diff) if diff else "linear"

@@ -21,7 +21,7 @@ import argparse
 import sys
 from pathlib import Path
 
-from psg_tpu.core.config import apply_device, load_config
+from psg_tpu.core.config import configure_jax, load_config
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -52,7 +52,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = load_config(args.config if Path(args.config).exists() else None,
                       overrides=args.override)
-    apply_device(cfg)
+    configure_jax(cfg)
 
     if args.data_stats:
         from psg_tpu.data import PokemonDataset, dataset_statistics
