@@ -11,7 +11,8 @@ Usage:
       [sampler] [guidance] [out.json]
 
 Defaults: evidence_r3b, 8, 25, dpmpp, 0.0, docs/eval_conditioning.json.
-Add ``device=cpu`` anywhere in argv to force the CPU backend.
+Any ``section.key=value`` argument is passed through as a config override
+(``device=cpu`` forces the CPU backend).
 """
 
 from __future__ import annotations
@@ -26,8 +27,9 @@ import numpy as np
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "device=cpu"]
-    force_cpu = "device=cpu" in sys.argv[1:]
+    extra_overrides = [a for a in sys.argv[1:] if "=" in a]
+    argv = [a for a in sys.argv[1:] if "=" not in a]
+    force_cpu = "device=cpu" in extra_overrides
     name = argv[0] if len(argv) > 0 else "evidence_r3b"
     n = int(argv[1]) if len(argv) > 1 else 8
     steps = int(argv[2]) if len(argv) > 2 else 25
@@ -49,12 +51,13 @@ def main() -> int:
     overrides = [
         "data.csv_path=/root/reference/data/text_description_concat.csv",
         "data.image_dir=/root/reference/data/small_images",
-    ]
+    ] + extra_overrides
     gen = build_generator(None, name, overrides, sampler=sampler,
                           guidance=guidance)
 
     ds = PokemonDataset("/root/reference/data/text_description_concat.csv",
-                        "/root/reference/data/small_images")
+                        "/root/reference/data/small_images",
+                        image_size=gen.cfg.data.image_size)
     captions = ds.full_descriptions[:n]
     names = [r["english_name"] for r in ds.rows[:n]]
     real = [ds.image_float(i) for i in range(n)]
