@@ -8,7 +8,7 @@ the very sprite their caption describes (chance = 1/N).
 
 Usage:
   python scripts/eval_conditioning.py [experiment_name] [n] [steps] \
-      [sampler] [guidance] [out.json]
+      [sampler] [guidance] [out.json] [restarts]
 
 Defaults: evidence_r3b, 8, 25, dpmpp, 0.0, docs/eval_conditioning.json.
 Any ``section.key=value`` argument is passed through as a config override
@@ -36,6 +36,7 @@ def main() -> int:
     sampler = argv[3] if len(argv) > 3 else "dpmpp"
     guidance = float(argv[4]) if len(argv) > 4 else 0.0
     out = Path(argv[5] if len(argv) > 5 else "docs/eval_conditioning.json")
+    restarts = int(argv[6]) if len(argv) > 6 else 0
 
     from psg_tpu.core.config import Config, configure_jax
 
@@ -62,12 +63,14 @@ def main() -> int:
     names = [r["english_name"] for r in ds.rows[:n]]
     real = [ds.image_float(i) for i in range(n)]
 
-    imgs = gen.generate_batch(captions, num_inference_steps=steps, seed=1234)
+    imgs = gen.generate_batch(captions, num_inference_steps=steps, seed=1234,
+                              restarts=restarts)
     generated = [np.asarray(im, np.float32) for im in imgs]
 
     report = conditioning_report(generated, real, names=names)
     report["checkpoint"] = name
-    report["sampler"] = f"{sampler}@{steps}"
+    report["sampler"] = f"{sampler}@{steps}" + (
+        f"+restart{restarts}" if restarts else "")
     report["guidance"] = guidance
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(report, indent=2))
