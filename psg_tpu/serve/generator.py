@@ -137,6 +137,13 @@ class PokemonGenerator:
         unet_tmpl = jit_init(unet_init, k_unet, self.spec)
         from psg_tpu.core.checkpoint import load_params, load_sample_params
 
+        if (vae_ckpt and diff_ckpt and str(vae_ckpt) == str(diff_ckpt)
+                and Path(vae_ckpt).exists()):
+            # stage-3 'final' bundle: one checkpoint carries
+            # {vae, text, unet} (FinalTrainer; serve/hub.py resolution)
+            tmpl = {"vae": vae_tmpl["vae"], "text": vae_tmpl["text"],
+                    "unet": unet_tmpl}
+            return load_params(vae_ckpt, tmpl)
         if vae_ckpt and Path(vae_ckpt).exists():
             vae_tmpl = load_params(vae_ckpt, vae_tmpl)
         if diff_ckpt and Path(diff_ckpt).exists():

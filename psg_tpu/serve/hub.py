@@ -60,7 +60,18 @@ def _try_hub(repo: str, filename: str) -> Optional[str]:
 
 def resolve_checkpoints(cfg, experiment_name: str = "pokemon",
                         allow_hub: bool = True) -> Tuple[Optional[str], Optional[str]]:
-    """-> (vae_ckpt_path or None, diffusion_ckpt_path or None)."""
+    """-> (vae_ckpt_path or None, diffusion_ckpt_path or None).
+
+    A stage-3 ``final`` checkpoint (the {vae, text, unet} bundle written
+    by FinalTrainer — the reference serves exactly this model via
+    FinalPokemonGenerator, final_trainer.py:165-213) takes precedence:
+    both slots then point at the same file and the generator loads all
+    three components from it."""
+    final = next((p for p in _local_candidates(cfg, experiment_name, "final")
+                  if p.exists()), None)
+    if final is not None:
+        log.info("serving the stage-3 final checkpoint %s", final)
+        return str(final), str(final)
     vae = next((p for p in _local_candidates(cfg, experiment_name, "vae")
                 if p.exists()), None)
     diff = next((p for p in _local_candidates(cfg, experiment_name, "diffusion")

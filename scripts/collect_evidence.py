@@ -47,6 +47,7 @@ def main() -> int:
     for stage, tag_train, tag_val in (
         ("vae", "vae_train/total_loss", "vae_val/total_loss"),
         ("diffusion", "diffusion_train/loss", "diffusion_val/loss"),
+        ("final", "final_train/total_loss", "final_val/total_loss"),
     ):
         exp = Path("experiments") / f"{name}_{stage}"
         rows = read_metrics(exp / "logs" / "metrics.jsonl")

@@ -191,3 +191,40 @@ def test_gradio_interface_wiring(monkeypatch):
     assert len(calls) == 2  # one handler per tab
     assert calls[0]("a creature", 50, 42) == ("text", "a creature", 50, 42)
     assert calls[1]("IMG", "desc", 30, 0.7, 1) == ("img", "IMG", "desc", 30, 0.7, 1)
+
+
+def test_serve_stage3_final_bundle(tmp_path):
+    """A stage-3 'final' checkpoint ({vae,text,unet} bundle) must be
+    resolvable and servable: resolve_checkpoints prefers it over the
+    stage-1/2 pair and the generator loads all three components from the
+    single file (reference: FinalPokemonGenerator serves the stage-3
+    model, final_trainer.py:165-213)."""
+    import jax
+
+    from psg_tpu.core.checkpoint import save_state
+    from psg_tpu.serve.generator import PokemonGenerator
+    from psg_tpu.serve.hub import resolve_checkpoints
+
+    cfg = _tiny_cfg()
+    cfg.experiment_dir = str(tmp_path)
+
+    # build a donor generator (random init) and dump its params as a bundle
+    donor = PokemonGenerator(cfg)
+    bundle = jax.tree_util.tree_map(lambda x: x + 1.0, donor.params)
+    ckdir = tmp_path / "x_final" / "checkpoints"
+    ckdir.mkdir(parents=True)
+    path = ckdir / "final_best_model.ckpt"
+    save_state(path, bundle, {"config": cfg.to_dict()})
+
+    vae, diff = resolve_checkpoints(cfg, "x", allow_hub=False)
+    assert vae == diff == str(path)
+
+    served = PokemonGenerator(cfg, vae_checkpoint=vae,
+                              diffusion_checkpoint=diff)
+    leaf_ours = jax.tree_util.tree_leaves(served.params)[0]
+    leaf_bundle = jax.tree_util.tree_leaves(bundle)[0]
+    np.testing.assert_allclose(np.asarray(leaf_ours, np.float32),
+                               np.asarray(leaf_bundle, np.float32), rtol=1e-6)
+    img = served.generate_from_text("a test creature", num_inference_steps=2,
+                                    seed=0)
+    assert img.size == (cfg.data.image_size, cfg.data.image_size)
