@@ -37,7 +37,8 @@ def _schedule_from_checkpoint(diff_ckpt) -> str:
 def build_generator(config_path=None, experiment_name: str = "pokemon",
                     overrides=None, schedule: str = "auto",
                     sampler: str = "renoise",
-                    guidance: float = 0.0) -> PokemonGenerator:
+                    guidance: float = 0.0,
+                    negative: str = "zero") -> PokemonGenerator:
     cfg = load_config(config_path if config_path and Path(config_path).exists()
                       else None, overrides=overrides)
     configure_jax(cfg)
@@ -46,7 +47,7 @@ def build_generator(config_path=None, experiment_name: str = "pokemon",
         schedule = _schedule_from_checkpoint(diff) if diff else "linear"
     return PokemonGenerator(cfg, vae_checkpoint=vae, diffusion_checkpoint=diff,
                             schedule_kind=schedule, sampler=sampler,
-                            guidance_scale=guidance)
+                            guidance_scale=guidance, negative=negative)
 
 
 def create_gradio_interface(generator: PokemonGenerator):
@@ -112,6 +113,11 @@ def main(argv=None) -> int:
     p.add_argument("--guidance", type=float, default=0.0,
                    help="classifier-free guidance scale (ddim/dpmpp only; "
                         "needs a checkpoint trained with extra.cond_dropout)")
+    p.add_argument("--negative", default="zero",
+                   help="CFG negative branch: 'zero' (cond-dropout "
+                        "embedding, needs CFG-trained checkpoint), 'mean' "
+                        "(mean dataset-caption embedding — works on any "
+                        "checkpoint), or a negative prompt string")
     p.add_argument("--restarts", type=int, default=0,
                    help="restart-sampling passes after the base chain "
                         "(re-encode, re-noise at --restart-strength, "
@@ -121,7 +127,7 @@ def main(argv=None) -> int:
 
     gen = build_generator(args.config, args.experiment_name, args.override,
                           schedule=args.schedule, sampler=args.sampler,
-                          guidance=args.guidance)
+                          guidance=args.guidance, negative=args.negative)
 
     if args.prompt is not None:
         img = gen.generate_from_text(args.prompt, args.steps, args.seed,

@@ -67,7 +67,8 @@ _SAMPLERS = {
 class PokemonGenerator:
     def __init__(self, cfg: Config, vae_checkpoint=None, diffusion_checkpoint=None,
                  tokenizer=None, mesh=None, schedule_kind: str = "linear",
-                 sampler: str = "renoise", guidance_scale: float = 0.0):
+                 sampler: str = "renoise", guidance_scale: float = 0.0,
+                 negative: str = "zero"):
         self.cfg = cfg
         self.compute_dtype = (
             jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None
@@ -116,6 +117,17 @@ class PokemonGenerator:
             else:
                 self.params = jax.device_put(self.params, replicated(mesh))
 
+        # CFG negative branch.  "zero": the cond-dropout zero embedding
+        # (needs a checkpoint trained with extra.cond_dropout).  "mean":
+        # the mean dataset-caption embedding — an IN-distribution negative
+        # that needs no special training: eps = (1+g)eps(c) - g eps(mean)
+        # extrapolates away from the average prompt (the mode-averaging
+        # direction).  Any other string: a negative prompt.
+        self.negative = negative
+        self._neg_emb = self._neg_mask = None
+        if negative != "zero":
+            self._neg_emb, self._neg_mask = self._negative_embedding(negative)
+
         self._generate = jax.jit(
             self._generate_impl, static_argnames=("steps", "num", "sampler"))
         self._encode_image = jax.jit(self._encode_impl)
@@ -159,6 +171,30 @@ class PokemonGenerator:
                                        dtype=self.compute_dtype)
         return reparameterize(rng, mu, logvar)
 
+    def _negative_embedding(self, negative: str, max_captions: int = 128):
+        """-> ([1,S,D] embedding, [1,S] mask) for the CFG negative branch."""
+        if negative == "mean":
+            from psg_tpu.data.dataset import (full_description,
+                                              read_description_csv)
+
+            rows = read_description_csv(self.cfg.data.csv_path)[:max_captions]
+            caps = [full_description(r["english_name"], r["description"])
+                    for r in rows]
+        else:
+            caps = [negative]
+        ids, mask = self.tokenizer.encode_batch(caps, self.cfg.data.text_len)
+        ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+        emb = jax.jit(lambda p, i, m: text_encoder_apply(
+            p, i, m, self.bert_cfg, dtype=self.compute_dtype))(
+                self.params["text"], ids, mask)
+        if negative == "mean":
+            # average the per-caption sequence embeddings; attend to every
+            # position in the negative branch (union-style mask)
+            return (jnp.mean(emb.astype(jnp.float32), axis=0,
+                             keepdims=True).astype(emb.dtype),
+                    jnp.ones((1, mask.shape[1]), mask.dtype))
+        return emb, mask
+
     def _generate_impl(self, params, rng, text_ids, text_mask,
                        initial_latent=None, *, steps: int, num: int,
                        sampler: str):
@@ -176,12 +212,20 @@ class PokemonGenerator:
         if sampler in ("ddim", "dpmpp"):
             uncond = None
             if self.guidance_scale > 0.0:
-                zero_emb = jnp.zeros_like(text_emb)
+                if self._neg_emb is not None:
+                    neg_emb = jnp.broadcast_to(
+                        self._neg_emb.astype(text_emb.dtype),
+                        text_emb.shape)
+                    neg_mask = jnp.broadcast_to(self._neg_mask,
+                                                text_mask.shape)
+                else:  # cond-dropout zero embedding
+                    neg_emb = jnp.zeros_like(text_emb)
+                    neg_mask = text_mask
 
-                def uncond(x, t):  # CFG against the cond-dropout zero embedding
+                def uncond(x, t):  # CFG negative branch (see __init__)
                     return unet_apply(params["unet"], x.astype(text_emb.dtype),
-                                      t, zero_emb, self.spec,
-                                      text_mask=text_mask,
+                                      t, neg_emb, self.spec,
+                                      text_mask=neg_mask,
                                       dtype=self.compute_dtype)
 
             latents = fn(denoise, self.schedule, rng, shape=shape,

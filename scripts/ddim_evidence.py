@@ -8,7 +8,7 @@ tests/test_diffusion.py::test_reference_strided_samplers_stay_at_prior_variance)
 
 Usage:
   python scripts/ddim_evidence.py [experiment_name] [steps] [out.png] \
-      [guidance] [sampler]
+      [guidance] [sampler] [restarts] [dataset] [negative]
 
 Defaults: evidence_r3b, 200 steps, docs/samples/ddim_sprites_r3.png, 0.0,
 ddim ('dpmpp' = DPM-Solver++(2M), ~10-25 steps suffice).  Runs on whatever
@@ -49,6 +49,9 @@ def dataset_prompts(n: int = 8):
 
 
 def main() -> int:
+    # any k=v argument is a config override (device=cpu forces CPU)
+    extra_overrides = [a for a in sys.argv[1:] if "=" in a]
+    sys.argv = [sys.argv[0]] + [a for a in sys.argv[1:] if "=" not in a]
     name = sys.argv[1] if len(sys.argv) > 1 else "evidence_r3b"
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 200
     out = Path(sys.argv[3] if len(sys.argv) > 3 else
@@ -58,14 +61,15 @@ def main() -> int:
     restarts = int(sys.argv[6]) if len(sys.argv) > 6 else 0
     prompts = (dataset_prompts() if len(sys.argv) > 7
                and sys.argv[7] == "dataset" else PROMPTS)
+    negative = sys.argv[8] if len(sys.argv) > 8 else "zero"
 
     overrides = [
         "data.csv_path=/root/reference/data/text_description_concat.csv",
         "data.image_dir=/root/reference/data/small_images",
-    ]
+    ] + extra_overrides
     gen = build_generator(None, name, overrides,
                           schedule="auto", sampler=sampler,
-                          guidance=guidance)
+                          guidance=guidance, negative=negative)
     imgs = gen.generate_batch(prompts, num_inference_steps=steps, seed=7,
                               restarts=restarts)
     out.parent.mkdir(parents=True, exist_ok=True)

@@ -8,7 +8,7 @@ the very sprite their caption describes (chance = 1/N).
 
 Usage:
   python scripts/eval_conditioning.py [experiment_name] [n] [steps] \
-      [sampler] [guidance] [out.json] [restarts]
+      [sampler] [guidance] [out.json] [restarts] [negative]
 
 Defaults: evidence_r3b, 8, 25, dpmpp, 0.0, docs/eval_conditioning.json.
 Any ``section.key=value`` argument is passed through as a config override
@@ -37,6 +37,7 @@ def main() -> int:
     guidance = float(argv[4]) if len(argv) > 4 else 0.0
     out = Path(argv[5] if len(argv) > 5 else "docs/eval_conditioning.json")
     restarts = int(argv[6]) if len(argv) > 6 else 0
+    negative = argv[7] if len(argv) > 7 else "zero"
 
     from psg_tpu.core.config import Config, configure_jax
 
@@ -54,7 +55,7 @@ def main() -> int:
         "data.image_dir=/root/reference/data/small_images",
     ] + extra_overrides
     gen = build_generator(None, name, overrides, sampler=sampler,
-                          guidance=guidance)
+                          guidance=guidance, negative=negative)
 
     ds = PokemonDataset("/root/reference/data/text_description_concat.csv",
                         "/root/reference/data/small_images",
@@ -72,6 +73,7 @@ def main() -> int:
     report["sampler"] = f"{sampler}@{steps}" + (
         f"+restart{restarts}" if restarts else "")
     report["guidance"] = guidance
+    report["negative"] = negative
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(report, indent=2))
     print(json.dumps({k: v for k, v in report.items() if k != "per_sprite"}))

@@ -228,3 +228,26 @@ def test_serve_stage3_final_bundle(tmp_path):
     img = served.generate_from_text("a test creature", num_inference_steps=2,
                                     seed=0)
     assert img.size == (cfg.data.image_size, cfg.data.image_size)
+
+
+@needs_data
+def test_cfg_mean_negative_branch(tmp_path):
+    """negative='mean' precomputes a mean-caption embedding and guidance
+    changes the output; negative text prompts also resolve."""
+    cfg = _tiny_cfg()
+    g0 = PokemonGenerator(cfg, sampler="ddim", guidance_scale=0.0)
+    g1 = PokemonGenerator(cfg, sampler="ddim", guidance_scale=2.0,
+                          negative="mean")
+    assert g1._neg_emb is not None and g1._neg_emb.shape[0] == 1
+    a = np.asarray(g0.generate_from_text("a red creature",
+                                         num_inference_steps=2, seed=5))
+    b = np.asarray(g1.generate_from_text("a red creature",
+                                         num_inference_steps=2, seed=5))
+    assert a.shape == b.shape
+    assert np.abs(a.astype(np.float32) - b.astype(np.float32)).max() > 0
+
+    g2 = PokemonGenerator(cfg, sampler="ddim", guidance_scale=1.0,
+                          negative="blurry low quality")
+    assert g2._neg_emb is not None
+    c = g2.generate_from_text("a red creature", num_inference_steps=2, seed=5)
+    assert c.size == (cfg.data.image_size, cfg.data.image_size)
