@@ -26,6 +26,32 @@ def _peak_tflops(device_str: str):
     return None
 
 
+def _require_backend(timeout_s: float = 420.0):
+    """Fail fast with one JSON error line if the device backend cannot be
+    reached (a dead TPU tunnel otherwise hangs discovery indefinitely)."""
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            import jax
+
+            result["devices"] = [str(d) for d in jax.devices()]
+        except Exception as e:  # noqa: BLE001
+            result["error"] = str(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive() or "error" in result:
+        err = result.get("error", f"backend unreachable after {timeout_s:.0f}s")
+        print(json.dumps({"metric": "denoise_steps_per_sec_per_chip",
+                          "value": None, "unit": "steps/s",
+                          "vs_baseline": None, "error": err}))
+        sys.exit(1)
+
+
 def _flops_of(compiled) -> float:
     try:
         ca = compiled.cost_analysis()
@@ -230,6 +256,7 @@ def main() -> int:
     from psg_tpu.core.config import Config, configure_jax
 
     configure_jax(Config())  # persistent compile cache (device stays tpu)
+    _require_backend()
 
     import jax
     import jax.numpy as jnp
