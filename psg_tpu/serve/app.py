@@ -60,13 +60,17 @@ def create_gradio_interface(generator: PokemonGenerator):
                               placeholder="A small green creature with a bulb on its back")
             steps = gr.Slider(10, 100, value=50, step=1, label="Inference steps")
             seed = gr.Number(value=42, label="Seed", precision=0)
+            restarts = gr.Slider(0, 3, value=1, step=1, label="Restart passes",
+                                 info="re-encode + resample; 1 markedly "
+                                      "sharpens structure and prompt color")
             btn = gr.Button("Generate")
             out = gr.Image(label="Generated sprite", type="pil")
 
-            def gen_text(d, s, sd):
-                return generator.generate_from_text(d, int(s), int(sd))
+            def gen_text(d, s, sd, r):
+                return generator.generate_from_text(d, int(s), int(sd),
+                                                    restarts=int(r))
 
-            btn.click(gen_text, [desc, steps, seed], out)
+            btn.click(gen_text, [desc, steps, seed, restarts], out)
 
         with gr.Tab("Image + Text to Sprite"):
             img = gr.Image(label="Input image", type="pil")

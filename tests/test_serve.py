@@ -178,8 +178,8 @@ def test_gradio_interface_wiring(monkeypatch):
     monkeypatch.setitem(sys.modules, "gradio", gr)
 
     class FakeGen:
-        def generate_from_text(self, d, steps, seed):
-            return ("text", d, steps, seed)
+        def generate_from_text(self, d, steps, seed, restarts=0):
+            return ("text", d, steps, seed, restarts)
 
         def generate_from_image_and_text(self, img, d, steps, ns, seed):
             return ("img", img, d, steps, ns, seed)
@@ -189,7 +189,7 @@ def test_gradio_interface_wiring(monkeypatch):
     demo = create_gradio_interface(FakeGen())
     assert demo is not None
     assert len(calls) == 2  # one handler per tab
-    assert calls[0]("a creature", 50, 42) == ("text", "a creature", 50, 42)
+    assert calls[0]("a creature", 50, 42, 1) == ("text", "a creature", 50, 42, 1)
     assert calls[1]("IMG", "desc", 30, 0.7, 1) == ("img", "IMG", "desc", 30, 0.7, 1)
 
 
