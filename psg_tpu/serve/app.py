@@ -122,6 +122,11 @@ def main(argv=None) -> int:
                         "embedding, needs CFG-trained checkpoint), 'mean' "
                         "(mean dataset-caption embedding — works on any "
                         "checkpoint), or a negative prompt string")
+    p.add_argument("--init", default="prior", choices=["prior", "retrieval"],
+                   help="'retrieval' seeds the chain from the nearest "
+                        "dataset sprite's latent (automatic img2img) at "
+                        "--init-strength noise")
+    p.add_argument("--init-strength", type=float, default=0.85)
     p.add_argument("--restarts", type=int, default=0,
                    help="restart-sampling passes after the base chain "
                         "(re-encode, re-noise at --restart-strength, "
@@ -134,9 +139,14 @@ def main(argv=None) -> int:
                           guidance=args.guidance, negative=args.negative)
 
     if args.prompt is not None:
-        img = gen.generate_from_text(args.prompt, args.steps, args.seed,
-                                     restarts=args.restarts,
-                                     restart_strength=args.restart_strength)
+        if args.init == "retrieval":
+            img = gen.generate_from_text_retrieval(
+                args.prompt, args.steps, args.seed,
+                strength=args.init_strength, restarts=args.restarts)
+        else:
+            img = gen.generate_from_text(args.prompt, args.steps, args.seed,
+                                         restarts=args.restarts,
+                                         restart_strength=args.restart_strength)
         img.save(args.out)
         print(f"wrote {args.out}")
         return 0

@@ -301,6 +301,81 @@ class PokemonGenerator:
                                         strength=restart_strength)
         return tensor_to_pil(np.asarray(imgs[0]))
 
+    # -- retrieval-seeded generation (beyond the reference) ------------------
+
+    def _retrieval_index(self):
+        """Lazy (pooled caption embeddings [N,D], dataset) for nearest-
+        caption lookup.  Built from the serving config's dataset paths."""
+        if getattr(self, "_retr", None) is None:
+            from psg_tpu.data.dataset import PokemonDataset
+
+            ds = PokemonDataset(self.cfg.data.csv_path, self.cfg.data.image_dir,
+                                image_size=self.cfg.data.image_size,
+                                text_len=self.cfg.data.text_len)
+            ids, mask = self.tokenizer.encode_batch(ds.full_descriptions,
+                                                    self.cfg.data.text_len)
+            ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+            emb_fn = jax.jit(lambda p, i, m: text_encoder_apply(
+                p, i, m, self.bert_cfg, dtype=self.compute_dtype))
+            pooled = []
+            for s in range(0, ids.shape[0], 64):
+                e = emb_fn(self.params["text"], ids[s:s + 64], mask[s:s + 64])
+                m = mask[s:s + 64, :, None].astype(jnp.float32)
+                pooled.append(np.asarray(
+                    jnp.sum(e.astype(jnp.float32) * m, axis=1)
+                    / jnp.maximum(jnp.sum(m, axis=1), 1.0)))
+            pooled = np.concatenate(pooled, axis=0)
+            pooled /= np.maximum(np.linalg.norm(pooled, axis=1, keepdims=True),
+                                 1e-8)
+            self._retr = (pooled, ds)
+        return self._retr
+
+    def retrieve_nearest(self, description: str) -> int:
+        """Index of the dataset sprite whose caption is closest (cosine on
+        masked-mean text embeddings) to ``description``."""
+        pooled, _ = self._retrieval_index()
+        ids, mask = self.tokenizer.encode_batch([description],
+                                                self.cfg.data.text_len)
+        e = jax.jit(lambda p, i, m: text_encoder_apply(
+            p, i, m, self.bert_cfg, dtype=self.compute_dtype))(
+                self.params["text"], jnp.asarray(ids), jnp.asarray(mask))
+        m = jnp.asarray(mask)[:, :, None].astype(jnp.float32)
+        q = np.array(jnp.sum(e.astype(jnp.float32) * m, axis=1)
+                     / jnp.maximum(jnp.sum(m, axis=1), 1.0))[0]
+        q = q / max(float(np.linalg.norm(q)), 1e-8)
+        return int(np.argmax(pooled @ q))
+
+    def generate_from_text_retrieval(self, description: str,
+                                     num_inference_steps: int = 50,
+                                     seed: Optional[int] = None,
+                                     strength: float = 0.85,
+                                     restarts: int = 0) -> Image.Image:
+        """Text->sprite seeded from the nearest dataset sprite's latent
+        (automatic img2img): the denoiser is measurably stronger from any
+        data-seeded latent than from the pure prior (ROUND3_NOTES), so
+        structure comes from the retrieved neighbor at ``strength`` noise
+        while color/identity follow the prompt."""
+        idx = self.retrieve_nearest(description)
+        _, ds = self._retrieval_index()
+        key = self._key(seed)
+        k_enc, k_noise, k_sample = jax.random.split(key, 3)
+        arr = jnp.asarray(ds.image_float(idx)[None])
+        latent = self._encode_image(self.params, k_enc, arr)
+        noise = jax.random.normal(k_noise, latent.shape, latent.dtype)
+        latent = latent * (1.0 - strength) + noise * strength
+        ids, mask = self.tokenizer.encode_batch([description],
+                                                self.cfg.data.text_len)
+        ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+        imgs = self._generate(self.params, k_sample, ids, mask, latent,
+                              steps=num_inference_steps, num=1,
+                              sampler=self.sampler_name)
+        if restarts > 0:
+            imgs = self._restart_passes(imgs, ids, mask, key,
+                                        steps=num_inference_steps, num=1,
+                                        sampler=self.sampler_name,
+                                        restarts=restarts, strength=strength)
+        return tensor_to_pil(np.asarray(imgs[0]))
+
     def generate_from_image_and_text(self, input_image: Image.Image,
                                      description: str,
                                      num_inference_steps: int = 50,

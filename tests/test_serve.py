@@ -251,3 +251,20 @@ def test_cfg_mean_negative_branch(tmp_path):
     assert g2._neg_emb is not None
     c = g2.generate_from_text("a red creature", num_inference_steps=2, seed=5)
     assert c.size == (cfg.data.image_size, cfg.data.image_size)
+
+
+@needs_data
+def test_retrieval_seeded_generation(gen):
+    """retrieve_nearest is exact for a verbatim dataset caption (cosine
+    self-similarity 1), and the retrieval-seeded chain produces an image."""
+    _, ds = gen._retrieval_index()
+    cap = ds.full_descriptions[3]
+    assert gen.retrieve_nearest(cap) == 3
+    img = gen.generate_from_text_retrieval(cap, num_inference_steps=2,
+                                           seed=0, strength=0.8)
+    assert img.size == (gen.cfg.data.image_size, gen.cfg.data.image_size)
+    # strength 1.0 is pure prior: different from a data-seeded chain
+    img2 = gen.generate_from_text_retrieval(cap, num_inference_steps=2,
+                                            seed=0, strength=1.0)
+    assert np.abs(np.asarray(img, np.float32)
+                  - np.asarray(img2, np.float32)).max() > 0
