@@ -330,9 +330,11 @@ class PokemonGenerator:
             self._retr = (pooled, ds)
         return self._retr
 
-    def retrieve_nearest(self, description: str) -> int:
+    def retrieve_nearest(self, description: str,
+                         exclude: Optional[int] = None) -> int:
         """Index of the dataset sprite whose caption is closest (cosine on
-        masked-mean text embeddings) to ``description``."""
+        masked-mean text embeddings) to ``description``.  ``exclude``
+        masks one index out (leave-one-out evaluation)."""
         pooled, _ = self._retrieval_index()
         ids, mask = self.tokenizer.encode_batch([description],
                                                 self.cfg.data.text_len)
@@ -343,19 +345,24 @@ class PokemonGenerator:
         q = np.array(jnp.sum(e.astype(jnp.float32) * m, axis=1)
                      / jnp.maximum(jnp.sum(m, axis=1), 1.0))[0]
         q = q / max(float(np.linalg.norm(q)), 1e-8)
-        return int(np.argmax(pooled @ q))
+        sims = pooled @ q
+        if exclude is not None:
+            sims = sims.copy()
+            sims[exclude] = -np.inf
+        return int(np.argmax(sims))
 
     def generate_from_text_retrieval(self, description: str,
                                      num_inference_steps: int = 50,
                                      seed: Optional[int] = None,
                                      strength: float = 0.85,
-                                     restarts: int = 0) -> Image.Image:
+                                     restarts: int = 0,
+                                     exclude: Optional[int] = None) -> Image.Image:
         """Text->sprite seeded from the nearest dataset sprite's latent
         (automatic img2img): the denoiser is measurably stronger from any
         data-seeded latent than from the pure prior (ROUND3_NOTES), so
         structure comes from the retrieved neighbor at ``strength`` noise
         while color/identity follow the prompt."""
-        idx = self.retrieve_nearest(description)
+        idx = self.retrieve_nearest(description, exclude=exclude)
         _, ds = self._retrieval_index()
         key = self._key(seed)
         k_enc, k_noise, k_sample = jax.random.split(key, 3)

@@ -27,7 +27,9 @@ import numpy as np
 
 
 def main() -> int:
-    extra_overrides = [a for a in sys.argv[1:] if "=" in a]
+    loo = "init=retrieval-loo" in sys.argv[1:]
+    extra_overrides = [a for a in sys.argv[1:]
+                       if "=" in a and a != "init=retrieval-loo"]
     argv = [a for a in sys.argv[1:] if "=" not in a]
     force_cpu = "device=cpu" in extra_overrides
     name = argv[0] if len(argv) > 0 else "evidence_r3b"
@@ -64,9 +66,22 @@ def main() -> int:
     names = [r["english_name"] for r in ds.rows[:n]]
     real = [ds.image_float(i) for i in range(n)]
 
-    imgs = gen.generate_batch(captions, num_inference_steps=steps, seed=1234,
-                              restarts=restarts)
-    generated = [np.asarray(im, np.float32) for im in imgs]
+    if loo:
+        # leave-one-out retrieval seeding: sprite i's generation is seeded
+        # from the nearest OTHER sprite — if the prompt dominates, the
+        # output should still match sprite i best
+        from psg_tpu.utils.images import pil_to_array
+
+        generated = []
+        for i, cap in enumerate(captions):
+            im = gen.generate_from_text_retrieval(
+                cap, num_inference_steps=steps, seed=1234 + i,
+                restarts=restarts, exclude=i)
+            generated.append(pil_to_array(im, gen.cfg.data.image_size))
+    else:
+        imgs = gen.generate_batch(captions, num_inference_steps=steps,
+                                  seed=1234, restarts=restarts)
+        generated = [np.asarray(im, np.float32) for im in imgs]
 
     report = conditioning_report(generated, real, names=names)
     report["checkpoint"] = name
@@ -74,6 +89,7 @@ def main() -> int:
         f"+restart{restarts}" if restarts else "")
     report["guidance"] = guidance
     report["negative"] = negative
+    report["init"] = "retrieval-loo" if loo else "prior"
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(report, indent=2))
     print(json.dumps({k: v for k, v in report.items() if k != "per_sprite"}))

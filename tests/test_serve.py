@@ -260,6 +260,7 @@ def test_retrieval_seeded_generation(gen):
     _, ds = gen._retrieval_index()
     cap = ds.full_descriptions[3]
     assert gen.retrieve_nearest(cap) == 3
+    assert gen.retrieve_nearest(cap, exclude=3) != 3
     img = gen.generate_from_text_retrieval(cap, num_inference_steps=2,
                                            seed=0, strength=0.8)
     assert img.size == (gen.cfg.data.image_size, gen.cfg.data.image_size)
