@@ -409,13 +409,23 @@ class PokemonGenerator:
                        seed: Optional[int] = None,
                        sampler: Optional[str] = None,
                        restarts: int = 0,
-                       restart_strength: float = 0.9) -> np.ndarray:
+                       restart_strength: float = 0.9,
+                       init: str = "prior",
+                       init_strength: float = 0.85) -> np.ndarray:
         """Batched sharded serving: N descriptions -> [N,H,W,3] in [-1,1].
 
         With a mesh, the batch is sharded over 'data' (ICI collectives via
-        XLA) — BASELINE config 5's >=64-sprite case.
+        XLA) — BASELINE config 5's >=64-sprite case.  ``init='retrieval'``
+        seeds every chain from its prompt's nearest dataset sprite
+        (:meth:`generate_from_text_retrieval`, batched).
         """
         n = len(descriptions)
+        init_images = None
+        if init == "retrieval":
+            _, ds = self._retrieval_index()
+            init_images = np.stack([
+                ds.image_float(self.retrieve_nearest(d))
+                for d in descriptions])
         ids, mask = self.tokenizer.encode_batch(list(descriptions),
                                                 self.cfg.data.text_len)
         ids, mask = np.asarray(ids), np.asarray(mask)
@@ -436,7 +446,18 @@ class PokemonGenerator:
         else:
             ids, mask = jnp.asarray(ids), jnp.asarray(mask)
         key = self._key(seed)
-        imgs = self._generate(self.params, key, ids, mask, None,
+        latent = None
+        if init_images is not None:
+            if init_images.shape[0] < num:  # mesh padding rows
+                init_images = np.concatenate(
+                    [init_images,
+                     np.repeat(init_images[-1:], num - init_images.shape[0], 0)])
+            k_enc, k_noise, key = jax.random.split(key, 3)
+            latent = self._encode_image(self.params, k_enc,
+                                        jnp.asarray(init_images))
+            noise = jax.random.normal(k_noise, latent.shape, latent.dtype)
+            latent = latent * (1.0 - init_strength) + noise * init_strength
+        imgs = self._generate(self.params, key, ids, mask, latent,
                               steps=num_inference_steps, num=num,
                               sampler=sampler or self.sampler_name)
         if restarts > 0:

@@ -62,6 +62,7 @@ def main() -> int:
     prompts = (dataset_prompts() if len(sys.argv) > 7
                and sys.argv[7] == "dataset" else PROMPTS)
     negative = sys.argv[8] if len(sys.argv) > 8 else "zero"
+    init = sys.argv[9] if len(sys.argv) > 9 else "prior"
 
     overrides = [
         "data.csv_path=/root/reference/data/text_description_concat.csv",
@@ -71,7 +72,7 @@ def main() -> int:
                           schedule="auto", sampler=sampler,
                           guidance=guidance, negative=negative)
     imgs = gen.generate_batch(prompts, num_inference_steps=steps, seed=7,
-                              restarts=restarts)
+                              restarts=restarts, init=init)
     out.parent.mkdir(parents=True, exist_ok=True)
     save_image_grid(imgs, out, captions=prompts)
     print(f"wrote {out} ({len(prompts)} prompts, {sampler} steps={steps}, "

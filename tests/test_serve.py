@@ -269,3 +269,13 @@ def test_retrieval_seeded_generation(gen):
                                             seed=0, strength=1.0)
     assert np.abs(np.asarray(img, np.float32)
                   - np.asarray(img2, np.float32)).max() > 0
+
+
+@needs_data
+def test_generate_batch_retrieval_init(gen):
+    out = gen.generate_batch(["a green creature", "a red one"],
+                             num_inference_steps=2, seed=0, init="retrieval")
+    assert out.shape == (2, 64, 64, 3)
+    prior = gen.generate_batch(["a green creature", "a red one"],
+                               num_inference_steps=2, seed=0)
+    assert not np.array_equal(out, prior)
