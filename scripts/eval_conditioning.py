@@ -28,8 +28,13 @@ import numpy as np
 
 def main() -> int:
     loo = "init=retrieval-loo" in sys.argv[1:]
+    strength = 0.85
+    for a in sys.argv[1:]:
+        if a.startswith("strength="):
+            strength = float(a.split("=", 1)[1])
     extra_overrides = [a for a in sys.argv[1:]
-                       if "=" in a and a != "init=retrieval-loo"]
+                       if "=" in a and a != "init=retrieval-loo"
+                       and not a.startswith("strength=")]
     argv = [a for a in sys.argv[1:] if "=" not in a]
     force_cpu = "device=cpu" in extra_overrides
     name = argv[0] if len(argv) > 0 else "evidence_r3b"
@@ -76,7 +81,7 @@ def main() -> int:
         for i, cap in enumerate(captions):
             im = gen.generate_from_text_retrieval(
                 cap, num_inference_steps=steps, seed=1234 + i,
-                restarts=restarts, exclude=i)
+                restarts=restarts, exclude=i, strength=strength)
             generated.append(pil_to_array(im, gen.cfg.data.image_size))
     else:
         imgs = gen.generate_batch(captions, num_inference_steps=steps,
@@ -89,7 +94,7 @@ def main() -> int:
         f"+restart{restarts}" if restarts else "")
     report["guidance"] = guidance
     report["negative"] = negative
-    report["init"] = "retrieval-loo" if loo else "prior"
+    report["init"] = (f"retrieval-loo@{strength}" if loo else "prior")
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(report, indent=2))
     print(json.dumps({k: v for k, v in report.items() if k != "per_sprite"}))
