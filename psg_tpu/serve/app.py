@@ -154,8 +154,27 @@ def main(argv=None) -> int:
     try:
         import gradio  # noqa: F401
     except ImportError:
-        print("gradio not installed — use --prompt for one-shot generation")
-        return 1
+        # headless fallback: a line-oriented REPL over the same generator
+        # API (one prompt per line; blank line or EOF quits)
+        print("gradio not installed — REPL mode (one prompt per line; "
+              "blank line quits)")
+        i = 0
+        while True:
+            try:
+                line = input("prompt> ").strip()
+            except EOFError:
+                break
+            if not line:
+                break
+            img = gen.generate_from_text(line, args.steps, args.seed + i,
+                                         restarts=args.restarts,
+                                         restart_strength=args.restart_strength)
+            out = Path(args.out).with_name(
+                f"{Path(args.out).stem}_{i:03d}{Path(args.out).suffix or '.png'}")
+            img.save(out)
+            print(f"wrote {out}")
+            i += 1
+        return 0
     demo = create_gradio_interface(gen)
     demo.launch(server_name="127.0.0.1", server_port=args.port, share=True)
     return 0
