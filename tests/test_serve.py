@@ -279,3 +279,31 @@ def test_generate_batch_retrieval_init(gen):
     prior = gen.generate_batch(["a green creature", "a red one"],
                                num_inference_steps=2, seed=0)
     assert not np.array_equal(out, prior)
+
+
+@needs_data
+@pytest.mark.slow
+def test_repl_fallback_headless(tmp_path):
+    """Without gradio, the serving entry point runs a line-oriented REPL
+    over the generator API (numbered outputs, blank line quits)."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "repl.png"
+    r = subprocess.run(
+        [sys.executable, "-m", "psg_tpu.serve.app", "--steps", "2",
+         "--out", str(out),
+         "--override", "device=cpu",
+         "--override", "model.bert_model=tiny-test",
+         "--override", "model.vae_width_scale=0.25",
+         "--override", "model.text_embedding_dim=48",
+         "--override", "model.unet_channels=[16,24,32,32]",
+         "--override", "model.time_emb_dim=32",
+         "--override", "data.image_size=64",
+         "--override", "data.text_len=32",
+         "--override", f"data.csv_path={CSV}",
+         "--override", "data.image_dir=/root/reference/data/small_images"],
+        input="a red creature\n\n", text=True, capture_output=True,
+        timeout=600, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "repl_000.png").exists()
