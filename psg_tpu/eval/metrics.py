@@ -23,6 +23,7 @@ tensor convention, utils/images.py).
 
 from __future__ import annotations
 
+from math import comb as _comb
 from typing import Dict, Optional, Sequence
 
 import numpy as np
@@ -123,6 +124,12 @@ def conditioning_report(generated: Sequence[np.ndarray],
         "retrieval_at_1": float((s.argmax(axis=1) == np.arange(n)).mean()),
         "chance_retrieval": float(1.0 / max(s.shape[1], 1)),
     }
+    # Exact binomial tail: P(X >= hits) with X ~ Binomial(n, 1/m) — the
+    # probability of retrieving this many captions' own sprites by chance.
+    hits = int((s.argmax(axis=1) == np.arange(n)).sum())
+    p = 1.0 / max(s.shape[1], 1)
+    report["retrieval_p_value"] = float(sum(
+        _comb(n, k) * p**k * (1 - p) ** (n - k) for k in range(hits, n + 1)))
     if names is not None:
         report["per_sprite"] = {
             str(names[i]): {"matched": float(diag[i]), "mismatched": float(off[i])}

@@ -12,7 +12,9 @@ Usage:
 
 Defaults: evidence_r3b, 8, 25, dpmpp, 0.0, docs/eval_conditioning.json.
 Any ``section.key=value`` argument is passed through as a config override
-(``device=cpu`` forces the CPU backend).
+(``device=cpu`` forces the CPU backend); ``seed=N`` changes the sampling
+seed (default 1234) so recipes can be replicated across seeds;
+``strength=S`` sets the retrieval-loo seeding strength.
 """
 
 from __future__ import annotations
@@ -29,12 +31,15 @@ import numpy as np
 def main() -> int:
     loo = "init=retrieval-loo" in sys.argv[1:]
     strength = 0.85
+    seed = 1234
     for a in sys.argv[1:]:
         if a.startswith("strength="):
             strength = float(a.split("=", 1)[1])
+        if a.startswith("seed="):
+            seed = int(a.split("=", 1)[1])
     extra_overrides = [a for a in sys.argv[1:]
                        if "=" in a and a != "init=retrieval-loo"
-                       and not a.startswith("strength=")]
+                       and not a.startswith(("strength=", "seed="))]
     argv = [a for a in sys.argv[1:] if "=" not in a]
     force_cpu = "device=cpu" in extra_overrides
     name = argv[0] if len(argv) > 0 else "evidence_r3b"
@@ -80,12 +85,12 @@ def main() -> int:
         generated = []
         for i, cap in enumerate(captions):
             im = gen.generate_from_text_retrieval(
-                cap, num_inference_steps=steps, seed=1234 + i,
+                cap, num_inference_steps=steps, seed=seed + i,
                 restarts=restarts, exclude=i, strength=strength)
             generated.append(pil_to_array(im, gen.cfg.data.image_size))
     else:
         imgs = gen.generate_batch(captions, num_inference_steps=steps,
-                                  seed=1234, restarts=restarts)
+                                  seed=seed, restarts=restarts)
         generated = [np.asarray(im, np.float32) for im in imgs]
 
     report = conditioning_report(generated, real, names=names)
@@ -95,6 +100,7 @@ def main() -> int:
     report["guidance"] = guidance
     report["negative"] = negative
     report["init"] = (f"retrieval-loo@{strength}" if loo else "prior")
+    report["seed"] = seed
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(report, indent=2))
     print(json.dumps({k: v for k, v in report.items() if k != "per_sprite"}))

