@@ -5,6 +5,7 @@ from psg_tpu.nn.init import (
     zeros,
 )
 from psg_tpu.nn.layers import (
+    cast_matmul_weights,
     conv2d,
     conv2d_init,
     group_norm,

@@ -99,6 +99,14 @@ class PokemonGenerator:
         self.bert_cfg = bert_config_for(cfg, tokenizer.vocab_size)
 
         self.params = self._load(vae_checkpoint, diffusion_checkpoint)
+        if self.compute_dtype is not None:
+            # Store matmul kernels in the compute dtype: bit-identical
+            # outputs (apply fns cast w to compute_dtype anyway), half the
+            # HBM + host->device transfer for the 2.6 GB UNet, and the
+            # denoise loop's per-step weight reads halve.
+            from psg_tpu.nn.layers import cast_matmul_weights
+
+            self.params = cast_matmul_weights(self.params, self.compute_dtype)
         if mesh is not None:
             if mesh.shape.get("model", 1) > 1:
                 # TP serving: UNet channels shard over 'model' so a

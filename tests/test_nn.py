@@ -159,3 +159,36 @@ def test_linear_bias_and_shape():
     p = {"w": jnp.ones((3, 4)), "b": jnp.arange(4, dtype=jnp.float32)}
     y = linear(p, jnp.ones((2, 3)))
     np.testing.assert_allclose(_np(y), np.array([[3, 4, 5, 6]] * 2, np.float32))
+
+
+def test_cast_matmul_weights_bit_identical_under_bf16_compute():
+    """Serving stores matmul kernels in bf16 (generator.py); outputs must be
+    bit-identical to fp32 storage because apply fns cast w to the compute
+    dtype anyway and biases/norms stay fp32."""
+    from psg_tpu.models.unet import UNetSpec, unet_apply, unet_init
+    from psg_tpu.nn import cast_matmul_weights
+
+    spec = UNetSpec(text_dim=32, channels=(16, 24, 32, 32), num_heads=4,
+                    time_emb_dim=16)
+    key = jax.random.PRNGKey(0)
+    params = unet_init(key, spec)
+    q = cast_matmul_weights(params, jnp.bfloat16)
+    # every >=2D "w" leaf halves; biases and norm scale/bias stay fp32
+    flat = jax.tree_util.tree_leaves_with_path(q)
+    assert any(x.dtype == jnp.bfloat16 for _, x in flat)
+    for path, leaf in flat:
+        name = getattr(path[-1], "key", None)
+        if name == "w" and leaf.ndim >= 2:
+            assert leaf.dtype == jnp.bfloat16
+        else:
+            assert leaf.dtype == jnp.float32, path
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 27, 27, 8), jnp.float32)
+    t = jnp.array([3, 500])
+    text = jax.random.normal(jax.random.PRNGKey(2), (2, 9, 32), jnp.float32)
+    a = unet_apply(params, x.astype(jnp.bfloat16), t, text.astype(jnp.bfloat16),
+                   spec, dtype=jnp.bfloat16)
+    b = unet_apply(q, x.astype(jnp.bfloat16), t, text.astype(jnp.bfloat16),
+                   spec, dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                  np.asarray(b, np.float32))
