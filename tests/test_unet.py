@@ -89,3 +89,24 @@ def test_timestep_changes_output(tiny_unet):
     # the near-zero-init final conv (gain 0.02) keeps absolute outputs tiny;
     # any nonzero dependence on t is what we're asserting
     assert float(jnp.max(jnp.abs(o1 - o2))) > 1e-9
+
+
+def test_batched_cfg_matches_two_calls():
+    """Serving fuses both CFG branches into one batch-2N call
+    (generator.py); per-sample independence of the UNet (GroupNorm/attention
+    are per-sample) makes it equivalent to two separate calls."""
+    key = jax.random.PRNGKey(0)
+    params = unet_init(key, TINY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 27, 27, 8))
+    t = jnp.array([7, 500])
+    emb_c = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 32))
+    emb_u = jnp.zeros_like(emb_c)
+    eps_c = unet_apply(params, x, t, emb_c, TINY)
+    eps_u = unet_apply(params, x, t, emb_u, TINY)
+    fused = unet_apply(params, jnp.concatenate([x, x]),
+                       jnp.concatenate([t, t]),
+                       jnp.concatenate([emb_c, emb_u]), TINY)
+    np.testing.assert_allclose(np.asarray(fused[:2]), np.asarray(eps_c),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fused[2:]), np.asarray(eps_u),
+                               atol=1e-5)
