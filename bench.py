@@ -144,7 +144,25 @@ def serve_bench(steps: int = 50) -> int:
                               text_mask=mask, dtype=jnp.bfloat16)
 
         b = ids.shape[0]
-        if sampler == "dpmpp":
+        if sampler == "dpmpp_cfg":
+            # full quality recipe: CFG branches fused in one batch-2N call
+            # (generator.py does the same), guidance 2.0 vs a zero negative
+            g = 2.0
+            emb_cat = jnp.concatenate([emb, jnp.zeros_like(emb)], axis=0)
+            mask_cat = jnp.concatenate([mask, mask], axis=0)
+
+            def guided(x, t):
+                eps = unet_apply(p["unet"],
+                                 jnp.concatenate([x, x]).astype(emb.dtype),
+                                 jnp.concatenate([t, t]), emb_cat, spec,
+                                 text_mask=mask_cat, dtype=jnp.bfloat16)
+                e_c, e_u = jnp.split(eps.astype(jnp.float32), 2, axis=0)
+                return (1.0 + g) * e_c - g * e_u
+
+            latents = dpmpp_2m_sample(guided, schedule, rng,
+                                      shape=(b, latent_size, latent_size, 8),
+                                      num_inference_steps=10, clip_x0=3.0)
+        elif sampler == "dpmpp":
             # quality chain: 2nd-order solver needs ~10 evals for the
             # 50-eval first-order chain's quality (tests/test_diffusion.py)
             latents = dpmpp_2m_sample(denoise, schedule, rng,
@@ -159,7 +177,7 @@ def serve_bench(steps: int = 50) -> int:
 
     rows = {}
     jchain = jax.jit(chain, static_argnames=("sampler",))
-    for sampler in ("fast", "dpmpp"):
+    for sampler in ("fast", "dpmpp", "dpmpp_cfg"):
         srows = {}
         for batch in (8, 64):
             ids = jnp.ones((batch, 128), jnp.int32)
