@@ -18,7 +18,10 @@ from PIL import Image
 def to_uint8(img) -> np.ndarray:
     """[-1,1] float [H,W,3] -> uint8."""
     arr = np.asarray(img, np.float32)
-    arr = np.clip((arr + 1.0) / 2.0, 0.0, 1.0)
+    # nan_to_num: np.clip passes NaN through, and a NaN->uint8 cast is
+    # undefined (RuntimeWarning + garbage pixels); random-weight smoke
+    # paths can emit NaN pixels
+    arr = np.clip((np.nan_to_num(arr) + 1.0) / 2.0, 0.0, 1.0)
     return (arr * 255.0 + 0.5).astype(np.uint8)
 
 

@@ -14,7 +14,10 @@ Defaults: evidence_r3b, 8, 25, dpmpp, 0.0, docs/eval_conditioning.json.
 Any ``section.key=value`` argument is passed through as a config override
 (``device=cpu`` forces the CPU backend); ``seed=N`` changes the sampling
 seed (default 1234) so recipes can be replicated across seeds;
-``strength=S`` sets the retrieval-loo seeding strength.
+``strength=S`` sets the retrieval-loo seeding strength;
+``prompts=paraphrase`` swaps the dataset captions for name-free
+paraphrases (``PARAPHRASES``) — retrieval@1 from these measures
+generalization across wording rather than caption memorization.
 """
 
 from __future__ import annotations
@@ -27,9 +30,55 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
+# Freshly-worded visual descriptions of the first 8 species, with the
+# species NAME deliberately omitted (dataset captions all start "Pokemon
+# named X.", so name tokens are a trivial retrieval key).  Used by the
+# ``prompts=paraphrase`` mode: retrieval@1 from these measures whether
+# conditioning generalizes across wording, not whether caption strings
+# were memorized.  The set is adversarial on purpose — three green, three
+# orange, and two blue confusable evolution-line neighbors.
+PARAPHRASES = [
+    "A small four-legged dinosaur beast, pale green with dark spots, "
+    "carrying a fat round plant bulb on its back",                 # Bulbasaur
+    "A mid-sized green quadruped with a leafy plant and tight pink "
+    "buds sprouting from its back",                                # Ivysaur
+    "A huge dark green beast bearing a giant blooming flower with "
+    "bright pink petals and a yellow center on its back",          # Venusaur
+    "A little bright orange lizard standing upright, a small flame "
+    "burning at the tip of its tail",                              # Charmander
+    "A lean red-orange reptile with a horned angular head and a "
+    "hot blazing tail flame",                                      # Charmeleon
+    "A big orange dragon with wide leathery wings tinged blue and "
+    "a roaring fiery tail",                                        # Charizard
+    "A tiny light blue turtle with a glossy brown shell and a "
+    "curled fluffy tail",                                          # Squirtle
+    "A dark blue turtle with long furry ears and a thick ridged "
+    "shell",                                                       # Wartortle
+    "A massive heavy dark blue tortoise, armored shell fitted "
+    "with two metal water cannons",                                # Blastoise
+    "A soft bright green worm with a segmented body and a red "
+    "antenna on its head",                                         # Caterpie
+    "A motionless green cocoon shaped like a crescent, hard "
+    "glossy angular shell",                                        # Metapod
+    "A butterfly with wide white wings veined in black and a "
+    "small purple-blue body",                                      # Butterfree
+    "A yellow segmented grub with a pink nose and a sharp "
+    "needle stinger on its head",                                  # Weedle
+    "A stiff yellow cocoon with a waxy shell and two small "
+    "black eyes",                                                  # Kakuna
+    "A wasp with a black and yellow striped body, buzzing clear "
+    "wings and two long needle arms",                              # Beedrill
+    "A plump little bird with brown and cream feathers and a "
+    "tiny sharp beak",                                             # Pidgey
+]
+# evolution families among the first 16 (for the relaxed retrieval count)
+FAMILIES = [{0, 1, 2}, {3, 4, 5}, {6, 7, 8}, {9, 10, 11}, {12, 13, 14},
+            {15}]
+
 
 def main() -> int:
     loo = "init=retrieval-loo" in sys.argv[1:]
+    paraphrase = "prompts=paraphrase" in sys.argv[1:]
     strength = 0.85
     seed = 1234
     for a in sys.argv[1:]:
@@ -39,6 +88,7 @@ def main() -> int:
             seed = int(a.split("=", 1)[1])
     extra_overrides = [a for a in sys.argv[1:]
                        if "=" in a and a != "init=retrieval-loo"
+                       and a != "prompts=paraphrase"
                        and not a.startswith(("strength=", "seed="))]
     argv = [a for a in sys.argv[1:] if "=" not in a]
     force_cpu = "device=cpu" in extra_overrides
@@ -72,7 +122,11 @@ def main() -> int:
     ds = PokemonDataset("/root/reference/data/text_description_concat.csv",
                         "/root/reference/data/small_images",
                         image_size=gen.cfg.data.image_size)
-    captions = ds.full_descriptions[:n]
+    if paraphrase:
+        n = min(n, len(PARAPHRASES))
+        captions = PARAPHRASES[:n]
+    else:
+        captions = ds.full_descriptions[:n]
     names = [r["english_name"] for r in ds.rows[:n]]
     real = [ds.image_float(i) for i in range(n)]
 
@@ -94,6 +148,22 @@ def main() -> int:
         generated = [np.asarray(im, np.float32) for im in imgs]
 
     report = conditioning_report(generated, real, names=names)
+    if paraphrase:
+        # relaxed count: best match lands in the caption's evolution
+        # family (Bulbasaur line / Charmander line / Squirtle line) —
+        # the scorer is palette-heavy, so within-family confusions are
+        # expected even under correct conditioning
+        from psg_tpu.eval.metrics import pairwise_conditioning_scores
+
+        s = pairwise_conditioning_scores(generated, real)
+        best = s.argmax(axis=1)
+        fam_of = {i: fi for fi, fam in enumerate(FAMILIES) for i in fam}
+        hits = [fam_of.get(int(best[i])) == fam_of.get(i)
+                for i in range(len(best))]
+        report["family_retrieval_at_1"] = float(np.mean(hits))
+        report["family_chance"] = float(np.mean(
+            [len(FAMILIES[fam_of[i]]) / len(best) for i in range(len(best))]))
+        report["prompts"] = "paraphrase"
     report["checkpoint"] = name
     report["sampler"] = f"{sampler}@{steps}" + (
         f"+restart{restarts}" if restarts else "")

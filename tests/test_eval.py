@@ -113,3 +113,32 @@ def test_conditioning_report_on_tiny_generator():
     rep = conditioning_report([np.asarray(i) for i in imgs], real)
     assert rep["n"] == 2
     assert 0.0 <= rep["retrieval_at_1"] <= 1.0
+
+
+def test_paraphrase_prompt_set_consistency():
+    """The paraphrase eval set (scripts/eval_conditioning.py) must stay a
+    name-free partition-consistent set: FAMILIES partitions the indices,
+    and no paraphrase leaks its species name (that would reduce the
+    wording-generalization test back to name-token retrieval)."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "eval_conditioning",
+        Path(__file__).resolve().parent.parent / "scripts"
+        / "eval_conditioning.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    n = len(mod.PARAPHRASES)
+    covered = sorted(i for fam in mod.FAMILIES for i in fam)
+    assert covered == list(range(n))
+    assert sum(len(f) for f in mod.FAMILIES) == n  # disjoint
+
+    from psg_tpu.data.dataset import read_description_csv
+
+    rows = read_description_csv(
+        "/root/reference/data/text_description_concat.csv")
+    names = [r["english_name"] for r in rows[:n]]
+    for cap, name in zip(mod.PARAPHRASES, names):
+        assert name.lower() not in cap.lower(), (name, cap)
