@@ -38,7 +38,8 @@ def build_generator(config_path=None, experiment_name: str = "pokemon",
                     overrides=None, schedule: str = "auto",
                     sampler: str = "renoise",
                     guidance: float = 0.0,
-                    negative: str = "zero") -> PokemonGenerator:
+                    negative: str = "zero",
+                    retrieval_mode: str = "hybrid") -> PokemonGenerator:
     cfg = load_config(config_path if config_path and Path(config_path).exists()
                       else None, overrides=overrides)
     configure_jax(cfg)
@@ -47,7 +48,8 @@ def build_generator(config_path=None, experiment_name: str = "pokemon",
         schedule = _schedule_from_checkpoint(diff) if diff else "linear"
     return PokemonGenerator(cfg, vae_checkpoint=vae, diffusion_checkpoint=diff,
                             schedule_kind=schedule, sampler=sampler,
-                            guidance_scale=guidance, negative=negative)
+                            guidance_scale=guidance, negative=negative,
+                            retrieval_mode=retrieval_mode)
 
 
 def create_gradio_interface(generator: PokemonGenerator):
@@ -127,6 +129,12 @@ def main(argv=None) -> int:
                         "dataset sprite's latent (automatic img2img) at "
                         "--init-strength noise")
     p.add_argument("--init-strength", type=float, default=0.85)
+    p.add_argument("--retrieval-mode", default="hybrid",
+                   choices=["hybrid", "embed", "lexical"],
+                   help="caption-retrieval similarity for --init retrieval: "
+                        "'hybrid' (embedding + TF-IDF; robust to reworded "
+                        "prompts), 'embed' (text tower only), 'lexical' "
+                        "(TF-IDF only)")
     p.add_argument("--restarts", type=int, default=0,
                    help="restart-sampling passes after the base chain "
                         "(re-encode, re-noise at --restart-strength, "
@@ -135,6 +143,7 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     gen = build_generator(args.config, args.experiment_name, args.override,
+                          retrieval_mode=args.retrieval_mode,
                           schedule=args.schedule, sampler=args.sampler,
                           guidance=args.guidance, negative=args.negative)
 

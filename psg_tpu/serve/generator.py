@@ -64,12 +64,65 @@ _SAMPLERS = {
 }
 
 
+class _TfidfIndex:
+    """Log-TF-IDF cosine retrieval over the caption corpus.
+
+    The lexical half of hybrid caption retrieval: the trained text tower
+    keys on exact caption wording (name-free paraphrases retrieve at 0/16,
+    docs/ROUND3_NOTES.md), while content-word TF-IDF retrieves 12/16 of
+    the same paraphrases — so reworded prompts still map to the right
+    sprite for ``--init retrieval`` seeding.  Dense [N, V] is ~20 MB for
+    the 898-caption corpus; queries are one matvec."""
+
+    _TOKEN = None  # compiled lazily (module import stays regex-free)
+
+    def __init__(self, corpus: Sequence[str]):
+        import re
+
+        if _TfidfIndex._TOKEN is None:
+            _TfidfIndex._TOKEN = re.compile(r"[a-z]+")
+        token = _TfidfIndex._TOKEN
+        from collections import Counter
+
+        docs = [Counter(token.findall(d.lower())) for d in corpus]
+        df = Counter()
+        for d in docs:
+            df.update(d.keys())
+        self.vocab = {w: i for i, w in enumerate(sorted(df))}
+        n = len(docs)
+        self.idf = np.zeros(len(self.vocab), np.float32)
+        for w, i in self.vocab.items():
+            self.idf[i] = np.log(n / (1.0 + df[w]))
+        mat = np.zeros((n, len(self.vocab)), np.float32)
+        for r, d in enumerate(docs):
+            for w, c in d.items():
+                mat[r, self.vocab[w]] = (1.0 + np.log(c)) * self.idf[self.vocab[w]]
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-8)
+        self.mat = mat
+
+    def _vec(self, text: str) -> np.ndarray:
+        from collections import Counter
+
+        q = np.zeros(self.mat.shape[1], np.float32)
+        for w, c in Counter(
+                _TfidfIndex._TOKEN.findall(text.lower())).items():
+            i = self.vocab.get(w)
+            if i is not None:
+                q[i] = (1.0 + np.log(c)) * self.idf[i]
+        return q / max(float(np.linalg.norm(q)), 1e-8)
+
+    def sims(self, text: str) -> np.ndarray:
+        """Cosine similarity of ``text`` against every corpus caption."""
+        return self.mat @ self._vec(text)
+
+
 class PokemonGenerator:
     def __init__(self, cfg: Config, vae_checkpoint=None, diffusion_checkpoint=None,
                  tokenizer=None, mesh=None, schedule_kind: str = "linear",
                  sampler: str = "renoise", guidance_scale: float = 0.0,
-                 negative: str = "zero"):
+                 negative: str = "zero", retrieval_mode: str = "hybrid"):
         self.cfg = cfg
+        self.retrieval_mode = retrieval_mode
         self.compute_dtype = (
             jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None
         )
@@ -324,8 +377,16 @@ class PokemonGenerator:
     # -- retrieval-seeded generation (beyond the reference) ------------------
 
     def _retrieval_index(self):
-        """Lazy (pooled caption embeddings [N,D], dataset) for nearest-
-        caption lookup.  Built from the serving config's dataset paths."""
+        """Lazy (pooled caption embeddings [N,D], dataset, TF-IDF matrix)
+        for nearest-caption lookup.  Built from the serving config's
+        dataset paths.
+
+        Two complementary similarity spaces: the trained text tower's
+        masked-mean embedding (exact-wording matches — the from-scratch
+        BERT keys on trained caption wording, docs/ROUND3_NOTES.md), and a
+        corpus TF-IDF cosine (content-word matches — measured 12/16 exact
+        species retrieval on name-free paraphrases where the embedding
+        scores 0/16)."""
         if getattr(self, "_retr", None) is None:
             from psg_tpu.data.dataset import PokemonDataset
 
@@ -347,15 +408,11 @@ class PokemonGenerator:
             pooled = np.concatenate(pooled, axis=0)
             pooled /= np.maximum(np.linalg.norm(pooled, axis=1, keepdims=True),
                                  1e-8)
-            self._retr = (pooled, ds)
+            self._retr = (pooled, ds, _TfidfIndex(ds.full_descriptions))
         return self._retr
 
-    def retrieve_nearest(self, description: str,
-                         exclude: Optional[int] = None) -> int:
-        """Index of the dataset sprite whose caption is closest (cosine on
-        masked-mean text embeddings) to ``description``.  ``exclude``
-        masks one index out (leave-one-out evaluation)."""
-        pooled, _ = self._retrieval_index()
+    def _query_embedding(self, description: str) -> np.ndarray:
+        """L2-normalized masked-mean text embedding of one description."""
         ids, mask = self.tokenizer.encode_batch([description],
                                                 self.cfg.data.text_len)
         e = jax.jit(lambda p, i, m: text_encoder_apply(
@@ -364,8 +421,25 @@ class PokemonGenerator:
         m = jnp.asarray(mask)[:, :, None].astype(jnp.float32)
         q = np.array(jnp.sum(e.astype(jnp.float32) * m, axis=1)
                      / jnp.maximum(jnp.sum(m, axis=1), 1.0))[0]
-        q = q / max(float(np.linalg.norm(q)), 1e-8)
-        sims = pooled @ q
+        return q / max(float(np.linalg.norm(q)), 1e-8)
+
+    def retrieve_nearest(self, description: str,
+                         exclude: Optional[int] = None,
+                         mode: Optional[str] = None) -> int:
+        """Index of the dataset sprite whose caption is closest to
+        ``description``.  ``mode``: 'hybrid' (default — mean of embedding
+        and TF-IDF cosines; robust to rewording), 'embed' (text-tower
+        only), 'lexical' (TF-IDF only).  ``exclude`` masks one index out
+        (leave-one-out evaluation)."""
+        mode = mode or self.retrieval_mode
+        pooled, _, tfidf = self._retrieval_index()
+        sims = 0.0
+        if mode in ("hybrid", "embed"):
+            sims = sims + pooled @ self._query_embedding(description)
+        if mode in ("hybrid", "lexical"):
+            sims = sims + tfidf.sims(description)
+        if mode == "hybrid":
+            sims = sims / 2.0
         if exclude is not None:
             sims = sims.copy()
             sims[exclude] = -np.inf
@@ -383,7 +457,7 @@ class PokemonGenerator:
         structure comes from the retrieved neighbor at ``strength`` noise
         while color/identity follow the prompt."""
         idx = self.retrieve_nearest(description, exclude=exclude)
-        _, ds = self._retrieval_index()
+        _, ds, _ = self._retrieval_index()
         key = self._key(seed)
         k_enc, k_noise, k_sample = jax.random.split(key, 3)
         arr = jnp.asarray(ds.image_float(idx)[None])
@@ -442,7 +516,7 @@ class PokemonGenerator:
         n = len(descriptions)
         init_images = None
         if init == "retrieval":
-            _, ds = self._retrieval_index()
+            _, ds, _ = self._retrieval_index()
             init_images = np.stack([
                 ds.image_float(self.retrieve_nearest(d))
                 for d in descriptions])

@@ -78,6 +78,7 @@ FAMILIES = [{0, 1, 2}, {3, 4, 5}, {6, 7, 8}, {9, 10, 11}, {12, 13, 14},
 
 def main() -> int:
     loo = "init=retrieval-loo" in sys.argv[1:]
+    retrieval = "init=retrieval" in sys.argv[1:]
     paraphrase = "prompts=paraphrase" in sys.argv[1:]
     strength = 0.85
     seed = 1234
@@ -87,8 +88,9 @@ def main() -> int:
         if a.startswith("seed="):
             seed = int(a.split("=", 1)[1])
     extra_overrides = [a for a in sys.argv[1:]
-                       if "=" in a and a != "init=retrieval-loo"
-                       and a != "prompts=paraphrase"
+                       if "=" in a and a not in ("init=retrieval-loo",
+                                                 "init=retrieval",
+                                                 "prompts=paraphrase")
                        and not a.startswith(("strength=", "seed="))]
     argv = [a for a in sys.argv[1:] if "=" not in a]
     force_cpu = "device=cpu" in extra_overrides
@@ -144,7 +146,9 @@ def main() -> int:
             generated.append(pil_to_array(im, gen.cfg.data.image_size))
     else:
         imgs = gen.generate_batch(captions, num_inference_steps=steps,
-                                  seed=seed, restarts=restarts)
+                                  seed=seed, restarts=restarts,
+                                  init="retrieval" if retrieval else "prior",
+                                  init_strength=strength)
         generated = [np.asarray(im, np.float32) for im in imgs]
 
     report = conditioning_report(generated, real, names=names)
@@ -169,7 +173,10 @@ def main() -> int:
         f"+restart{restarts}" if restarts else "")
     report["guidance"] = guidance
     report["negative"] = negative
-    report["init"] = (f"retrieval-loo@{strength}" if loo else "prior")
+    report["init"] = (f"retrieval-loo@{strength}" if loo else
+                      f"retrieval@{strength}" if retrieval else "prior")
+    if retrieval or loo:
+        report["retrieval_mode"] = gen.retrieval_mode
     report["seed"] = seed
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(report, indent=2))

@@ -257,7 +257,7 @@ def test_cfg_mean_negative_branch(tmp_path):
 def test_retrieval_seeded_generation(gen):
     """retrieve_nearest is exact for a verbatim dataset caption (cosine
     self-similarity 1), and the retrieval-seeded chain produces an image."""
-    _, ds = gen._retrieval_index()
+    _, ds, _ = gen._retrieval_index()
     cap = ds.full_descriptions[3]
     assert gen.retrieve_nearest(cap) == 3
     assert gen.retrieve_nearest(cap, exclude=3) != 3
@@ -307,3 +307,27 @@ def test_repl_fallback_headless(tmp_path):
         timeout=600, cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-2000:]
     assert (tmp_path / "repl_000.png").exists()
+
+
+@needs_data
+def test_retrieval_modes_hybrid_lexical_embed(gen):
+    """Hybrid is the default; lexical retrieval is robust to rewording
+    (content-word TF-IDF), and all three modes agree on a verbatim
+    caption (self cosine 1.0 in both spaces)."""
+    assert gen.retrieval_mode == "hybrid"
+    _, ds, tfidf = gen._retrieval_index()
+    cap = ds.full_descriptions[3]
+    for mode in ("hybrid", "embed", "lexical"):
+        assert gen.retrieve_nearest(cap, mode=mode) == 3, mode
+    # TF-IDF self-similarity is maximal and exactly 1 for the own row
+    s = tfidf.sims(cap)
+    assert s.shape == (len(ds.full_descriptions),)
+    assert abs(s[3] - 1.0) < 1e-5 and s.argmax() == 3
+    # a reworded subset of row 3's content words still wins lexically
+    # (drop function words, reorder) — the embedding tower may not
+    import re
+
+    words = re.findall(r"[a-z]+", cap.lower())
+    content = [w for w in words if len(w) > 4][:12]
+    reworded = " ".join(reversed(content))
+    assert gen.retrieve_nearest(reworded, mode="lexical") == 3
