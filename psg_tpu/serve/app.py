@@ -65,14 +65,27 @@ def create_gradio_interface(generator: PokemonGenerator):
             restarts = gr.Slider(0, 3, value=1, step=1, label="Restart passes",
                                  info="re-encode + resample; 1 markedly "
                                       "sharpens structure and prompt color")
+            retr = gr.Checkbox(value=False,
+                               label="Seed from nearest sprite (retrieval)",
+                               info="automatic img2img: retrieve the "
+                                    "closest dataset caption (hybrid "
+                                    "embedding+TF-IDF) and start from its "
+                                    "sprite's latent")
+            retr_strength = gr.Slider(0.5, 1.0, value=0.85, step=0.05,
+                                      label="Retrieval noise strength")
             btn = gr.Button("Generate")
             out = gr.Image(label="Generated sprite", type="pil")
 
-            def gen_text(d, s, sd, r):
+            def gen_text(d, s, sd, r, use_retr, ns):
+                if use_retr:
+                    return generator.generate_from_text_retrieval(
+                        d, int(s), int(sd), strength=float(ns),
+                        restarts=int(r))
                 return generator.generate_from_text(d, int(s), int(sd),
                                                     restarts=int(r))
 
-            btn.click(gen_text, [desc, steps, seed, restarts], out)
+            btn.click(gen_text, [desc, steps, seed, restarts, retr,
+                                 retr_strength], out)
 
         with gr.Tab("Image + Text to Sprite"):
             img = gr.Image(label="Input image", type="pil")

@@ -173,6 +173,7 @@ def test_gradio_interface_wiring(monkeypatch):
     gr.Textbox = _Widget
     gr.Slider = _Widget
     gr.Number = _Widget
+    gr.Checkbox = _Widget
     gr.Button = _Button
     gr.Image = _Widget
     monkeypatch.setitem(sys.modules, "gradio", gr)
@@ -180,6 +181,10 @@ def test_gradio_interface_wiring(monkeypatch):
     class FakeGen:
         def generate_from_text(self, d, steps, seed, restarts=0):
             return ("text", d, steps, seed, restarts)
+
+        def generate_from_text_retrieval(self, d, steps, seed,
+                                         strength=0.85, restarts=0):
+            return ("retr", d, steps, seed, strength, restarts)
 
         def generate_from_image_and_text(self, img, d, steps, ns, seed):
             return ("img", img, d, steps, ns, seed)
@@ -189,7 +194,10 @@ def test_gradio_interface_wiring(monkeypatch):
     demo = create_gradio_interface(FakeGen())
     assert demo is not None
     assert len(calls) == 2  # one handler per tab
-    assert calls[0]("a creature", 50, 42, 1) == ("text", "a creature", 50, 42, 1)
+    assert calls[0]("a creature", 50, 42, 1, False, 0.85) == (
+        "text", "a creature", 50, 42, 1)
+    assert calls[0]("a creature", 50, 42, 1, True, 0.9) == (
+        "retr", "a creature", 50, 42, 0.9, 1)
     assert calls[1]("IMG", "desc", 30, 0.7, 1) == ("img", "IMG", "desc", 30, 0.7, 1)
 
 
@@ -331,3 +339,22 @@ def test_retrieval_modes_hybrid_lexical_embed(gen):
     content = [w for w in words if len(w) > 4][:12]
     reworded = " ".join(reversed(content))
     assert gen.retrieve_nearest(reworded, mode="lexical") == 3
+
+
+def test_tfidf_index_unit():
+    """_TfidfIndex alone (no models, no dataset): exact self-retrieval,
+    order-independent content-word retrieval, and harmless OOV/empty
+    queries."""
+    from psg_tpu.serve.generator import _TfidfIndex
+
+    corpus = ["a red fire lizard with a burning tail",
+              "a blue water turtle with a hard shell",
+              "a green plant dinosaur with a round bulb"]
+    idx = _TfidfIndex(corpus)
+    for i, c in enumerate(corpus):
+        s = idx.sims(c)
+        assert s.argmax() == i and abs(s[i] - 1.0) < 1e-5
+    assert idx.sims("burning lizard tail").argmax() == 0
+    assert idx.sims("shell turtle water").argmax() == 1
+    assert np.allclose(idx.sims("xyzzy qwerty"), 0.0)
+    assert np.allclose(idx.sims(""), 0.0)
