@@ -179,6 +179,13 @@ def main() -> int:
         report["retrieval_mode"] = gen.retrieval_mode
     report["seed"] = seed
     out.parent.mkdir(parents=True, exist_ok=True)
+    # the generated sprites are already in memory — save the grid next to
+    # the JSON (top rows: generations in caption order; the report's
+    # per_sprite section carries the matched/mismatched scores)
+    from psg_tpu.utils.images import save_image_grid
+
+    save_image_grid(generated, out.with_suffix(".png"), captions=captions)
+    report["grid"] = str(out.with_suffix(".png"))
     out.write_text(json.dumps(report, indent=2))
     print(json.dumps({k: v for k, v in report.items() if k != "per_sprite"}))
     return 0
