@@ -415,9 +415,12 @@ class PokemonGenerator:
         """L2-normalized masked-mean text embedding of one description."""
         ids, mask = self.tokenizer.encode_batch([description],
                                                 self.cfg.data.text_len)
-        e = jax.jit(lambda p, i, m: text_encoder_apply(
-            p, i, m, self.bert_cfg, dtype=self.compute_dtype))(
-                self.params["text"], jnp.asarray(ids), jnp.asarray(mask))
+        if getattr(self, "_embed_fn", None) is None:
+            # cached: a fresh jit(lambda) per query would re-trace every call
+            self._embed_fn = jax.jit(lambda p, i, m: text_encoder_apply(
+                p, i, m, self.bert_cfg, dtype=self.compute_dtype))
+        e = self._embed_fn(self.params["text"], jnp.asarray(ids),
+                           jnp.asarray(mask))
         m = jnp.asarray(mask)[:, :, None].astype(jnp.float32)
         q = np.array(jnp.sum(e.astype(jnp.float32) * m, axis=1)
                      / jnp.maximum(jnp.sum(m, axis=1), 1.0))[0]
