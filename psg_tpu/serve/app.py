@@ -86,6 +86,17 @@ def create_gradio_interface(generator: PokemonGenerator):
 
             btn.click(gen_text, [desc, steps, seed, restarts, retr,
                                  retr_strength], out)
+            if hasattr(gr, "Examples"):
+                # example prompts (gradio_app.py:589-602 analog)
+                gr.Examples(
+                    examples=[
+                        ["A fire-type Pokemon with orange flames and wings", 25, 42],
+                        ["A water-type Pokemon with blue scales and fins", 25, 123],
+                        ["An electric-type Pokemon with yellow fur", 25, 456],
+                        ["A grass-type Pokemon with green leaves and petals", 25, 789],
+                    ],
+                    inputs=[desc, steps, seed],
+                )
 
         with gr.Tab("Image + Text to Sprite"):
             img = gr.Image(label="Input image", type="pil")
