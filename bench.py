@@ -106,9 +106,14 @@ def serve_bench(steps: int = 50) -> int:
     from pathlib import Path
 
     from psg_tpu.core.checkpoint import load_params, load_sample_params
-    vae_ck = Path("experiments/evidence_r3b_vae/checkpoints/vae_best_model.ckpt")
-    diff_ck = Path(
-        "experiments/evidence_r3b_diffusion/checkpoints/diffusion_best_model.ckpt")
+
+    def _newest(pattern: str) -> Path:
+        hits = sorted(Path("experiments").glob(pattern),
+                      key=lambda p: p.stat().st_mtime)
+        return hits[-1] if hits else Path("/nonexistent")
+
+    vae_ck = _newest("*_vae/checkpoints/vae_best_model.ckpt")
+    diff_ck = _newest("*_diffusion/checkpoints/diffusion_best_model.ckpt")
     try:
         if vae_ck.exists() and not smoke:
             vt = load_params(str(vae_ck), {"vae": params["vae"],

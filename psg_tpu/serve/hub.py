@@ -20,11 +20,18 @@ UNET_REPO = "GabrieleConte/PokemonU-Net"
 
 def _local_candidates(cfg, experiment_name: str, stage: str):
     exp = Path(cfg.experiment_dir)
-    return [
+    named = [
         exp / f"{experiment_name}_{stage}" / "checkpoints" / f"{stage}_best_model.ckpt",
         exp / f"{stage}_best_model.ckpt",
         Path("weights") / f"{stage}_best_model.ckpt",
     ]
+    # fallback: newest trained run of this stage under experiment_dir,
+    # so the default serve CLI finds the freshest evidence checkpoints
+    # without the caller knowing the run name
+    globbed = sorted((p for p in exp.glob(
+        f"*_{stage}/checkpoints/{stage}_best_model.ckpt") if p.exists()),
+        key=lambda p: p.stat().st_mtime, reverse=True)
+    return named + globbed
 
 
 def _hub_reachable(timeout: float = 2.0) -> bool:
