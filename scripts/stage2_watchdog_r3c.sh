@@ -30,7 +30,23 @@ relaunch() {
     --override extra.cond_dropout=0.1 \
     --override extra.snr_gamma=5.0 \
     > /tmp/stage2_r3c.out 2>&1 < /dev/null &
-  echo $! > "$PIDFILE"
+  # setsid forks when launched from a background job, so $! may be a dead
+  # wrapper; resolve the real python pid from /proc (inspection only —
+  # never pattern-kill)
+  for i in $(seq 40); do
+    sleep 3
+    np=$(find_pid "psg_tpu.train.cli --stage 2")
+    [ -n "$np" ] && break
+  done
+  echo "${np#/proc/}" > "$PIDFILE"
+}
+
+find_pid() {
+  for p in /proc/[0-9]*/cmdline; do
+    c=$(tr '\0' ' ' < "$p" 2>/dev/null)
+    case "$c" in *"$1"*) echo "${p%/cmdline}"; return 0;; esac
+  done
+  return 1
 }
 
 kill_trainer() {
