@@ -102,29 +102,35 @@ def serve_bench(steps: int = 50) -> int:
     # prefer trained evidence checkpoints when present so the serving row
     # measures the real deployed chain, not just random-weight throughput
     # (VERDICT r2); throughput itself is weight-value independent.
+    # Resolution goes through serve/hub.py: recorded-best ranking + the
+    # VAE paired to the chosen UNet's latent space (ADVICE r3 — the old
+    # newest-mtime glob could pair checkpoints across runs, or pick one
+    # mid-write and silently fall back to random weights).
     weights = "random"
+    ckpt_info = {}
     from pathlib import Path
 
     from psg_tpu.core.checkpoint import load_params, load_sample_params
+    from psg_tpu.core.config import Config
+    from psg_tpu.serve.hub import resolve_checkpoints
 
-    def _newest(pattern: str) -> Path:
-        hits = sorted(Path("experiments").glob(pattern),
-                      key=lambda p: p.stat().st_mtime)
-        return hits[-1] if hits else Path("/nonexistent")
-
-    vae_ck = _newest("*_vae/checkpoints/vae_best_model.ckpt")
-    diff_ck = _newest("*_diffusion/checkpoints/diffusion_best_model.ckpt")
+    vae_ck, diff_ck = (None, None)
+    if not smoke:
+        vae_ck, diff_ck = resolve_checkpoints(Config(), allow_hub=False)
+    ckpt_info = {"vae": vae_ck, "diffusion": diff_ck}
     try:
-        if vae_ck.exists() and not smoke:
-            vt = load_params(str(vae_ck), {"vae": params["vae"],
-                                           "text": params["text"]})
+        if vae_ck and Path(vae_ck).exists():
+            vt = load_params(vae_ck, {"vae": params["vae"],
+                                      "text": params["text"]})
             params["vae"], params["text"] = vt["vae"], vt["text"]
             weights = "trained-vae"
-        if diff_ck.exists() and not smoke:
-            params["unet"] = load_sample_params(str(diff_ck), params["unet"])
+        if diff_ck and Path(diff_ck).exists():
+            params["unet"] = load_sample_params(diff_ck, params["unet"])
             weights = "trained"
-    except Exception:
-        pass
+    except Exception as e:  # make the random-weights fallback VISIBLE
+        weights = f"random (load failed: {type(e).__name__}: {e})"
+        print(f"WARNING: checkpoint load failed ({e}) — benching random "
+              f"weights", file=sys.stderr)
     jax.block_until_ready(params)
     from psg_tpu.diffusion import dpmpp_2m_sample
     # sample under the TRAINING schedule when the trained checkpoint loads
@@ -133,7 +139,7 @@ def serve_bench(steps: int = 50) -> int:
     if weights == "trained":
         import json as _json
         try:
-            kind = _json.loads(diff_ck.with_suffix(".json").read_text())[
+            kind = _json.loads(Path(diff_ck).with_suffix(".json").read_text())[
                 "config"]["model"]["beta_schedule"]
         except Exception:
             pass
@@ -209,6 +215,7 @@ def serve_bench(steps: int = 50) -> int:
         "detail": {"headline": "dpmpp@10 (quality ~= 50-eval first-order)",
                    "steps": steps, "unet_evals": 1000 // stride,
                    "by_sampler": rows, "weights": weights,
+                   "checkpoints": ckpt_info,
                    "schedule": kind,
                    "backend": jax.default_backend(),
                    "device": str(jax.devices()[0])},

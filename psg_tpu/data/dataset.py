@@ -171,6 +171,23 @@ class PokemonDataset:
             self.text_ids = self.text_mask = None
             self.desc_ids = self.desc_mask = None
         self.clip_ids = self.clip_mask = None
+        self.text_ids_aug = self.text_mask_aug = None
+
+    def set_caption_variants(self, k: int, seed: int = 0) -> None:
+        """Pre-tokenize K augmented caption variants per sample
+        (data/caption_augment.py); batches gain ``text_ids_aug`` /
+        ``text_mask_aug`` shaped [N, K, L] with variant 0 canonical.
+        Requires a tokenizer to be set."""
+        from psg_tpu.data.caption_augment import caption_variants
+
+        if self.tokenizer is None:
+            raise ValueError("set a tokenizer before caption variants")
+        variants = caption_variants(self.full_descriptions, k, seed)
+        flat = [v for vs in variants for v in vs]
+        ids, mask = self.tokenizer.encode_batch(flat, max_len=self.text_len)
+        n = len(variants)
+        self.text_ids_aug = ids.reshape(n, k, -1)
+        self.text_mask_aug = mask.reshape(n, k, -1)
 
     def set_clip_tokenizer(self, bpe, length: int = 77) -> None:
         """Pre-tokenize descriptions with the CLIP BPE (stage-3 loss with

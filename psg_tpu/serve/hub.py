@@ -4,13 +4,32 @@ Covers gradio_app.py:34-158 (downloads from GabrieleConte/PokemonVAE /
 GabrieleConte/PokemonU-Net with local fallbacks).  This framework's
 checkpoints are .ckpt msgpack states; zero-egress environments resolve
 locally only.
+
+Resolution policy (VERDICT r3 #3 + ADVICE r3):
+
+- candidates are ranked by the RECORDED best validation loss in each
+  checkpoint's sidecar JSON, not by mtime — "newest" must never shadow
+  "measured best" (an in-flight retrain would otherwise hijack serving);
+- the VAE and the diffusion checkpoint are resolved as a PAIR: a UNet's
+  latent space is defined by the frozen VAE it trained against, so the
+  diffusion sidecar's recorded ``vae_checkpoint`` is followed first,
+  then a VAE from the same run family (``X_diffusion`` -> ``X_vae``),
+  and only then the best-ranked VAE anywhere (with a warning);
+- a stage-3 ``final`` bundle (the reference serves exactly this model,
+  final_trainer.py:165-213) shadows the stage-2 pair ONLY when its
+  sidecar records a conditioning eval (``eval.retrieval_at_1``, stamped
+  by scripts/eval_conditioning.py) that is not worse than the stage-2
+  candidate's — round 3 measured a stage-3 run that silently *degraded*
+  conditioning.  ``extra.serve_prefer_final: true`` restores the
+  reference's unconditional preference.
 """
 
 from __future__ import annotations
 
+import json
 import logging
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 log = logging.getLogger(__name__)
 
@@ -18,20 +37,116 @@ VAE_REPO = "GabrieleConte/PokemonVAE"
 UNET_REPO = "GabrieleConte/PokemonU-Net"
 
 
-def _local_candidates(cfg, experiment_name: str, stage: str):
+def _sidecar(path: Path) -> Dict:
+    p = path.with_suffix(".json")
+    try:
+        return json.loads(p.read_text())
+    except Exception:
+        return {}
+
+
+def _candidate(path: Path, named: bool = False) -> Dict:
+    meta = _sidecar(path)
+    run = path.parent.parent.name  # {run}_{stage}/checkpoints/x.ckpt
+    return {
+        "path": path,
+        "run": run,
+        "named": named,
+        "metric": meta.get("metric"),
+        "eval": (meta.get("eval") or {}).get("retrieval_at_1"),
+        "step": meta.get("step"),
+        "vae_checkpoint": meta.get("vae_checkpoint"),
+        "mtime": path.stat().st_mtime if path.exists() else 0.0,
+    }
+
+
+def list_candidates(cfg, stage: str,
+                    experiment_name: Optional[str] = None) -> List[Dict]:
+    """All on-disk best checkpoints of ``stage``, ranked best-first:
+    explicitly-named run first, then by recorded val metric ascending
+    (checkpoints without a recorded metric rank after those with one,
+    newest first among themselves)."""
     exp = Path(cfg.experiment_dir)
-    named = [
-        exp / f"{experiment_name}_{stage}" / "checkpoints" / f"{stage}_best_model.ckpt",
-        exp / f"{stage}_best_model.ckpt",
-        Path("weights") / f"{stage}_best_model.ckpt",
-    ]
-    # fallback: newest trained run of this stage under experiment_dir,
-    # so the default serve CLI finds the freshest evidence checkpoints
-    # without the caller knowing the run name
-    globbed = sorted((p for p in exp.glob(
-        f"*_{stage}/checkpoints/{stage}_best_model.ckpt") if p.exists()),
-        key=lambda p: p.stat().st_mtime, reverse=True)
-    return named + globbed
+    seen = set()
+    out: List[Dict] = []
+
+    def add(p: Path, named: bool):
+        if p.exists() and p not in seen:
+            seen.add(p)
+            out.append(_candidate(p, named))
+
+    if experiment_name:
+        add(exp / f"{experiment_name}_{stage}" / "checkpoints"
+            / f"{stage}_best_model.ckpt", named=True)
+    add(exp / f"{stage}_best_model.ckpt", named=False)
+    add(Path("weights") / f"{stage}_best_model.ckpt", named=False)
+    for p in exp.glob(f"*_{stage}/checkpoints/{stage}_best_model.ckpt"):
+        add(p, named=False)
+
+    def key(c):
+        has_metric = c["metric"] is not None
+        return (not c["named"], not has_metric,
+                c["metric"] if has_metric else -c["mtime"])
+
+    out.sort(key=key)
+    return out
+
+
+def _pair_vae(cfg, diff: Dict, vaes: List[Dict]) -> Optional[Dict]:
+    """The VAE that belongs to ``diff`` (ADVICE r3: never pair a UNet
+    with a VAE from a different latent space)."""
+    recorded = diff.get("vae_checkpoint")
+    if recorded:
+        p = Path(recorded)
+        if p.exists():
+            return _candidate(p)
+        log.warning("recorded vae_checkpoint %s is gone — falling back", p)
+    # same run family: X_diffusion -> X_vae
+    prefix = diff["run"].removesuffix("_diffusion")
+    for v in vaes:
+        if v["run"].removesuffix("_vae") == prefix:
+            return v
+    if vaes:
+        log.warning(
+            "no paired VAE for diffusion run %r — using best-ranked %s "
+            "(verify the latent spaces match)", diff["run"], vaes[0]["path"])
+        return vaes[0]
+    return None
+
+
+def _final_shadows(final: Dict, diff: Optional[Dict], cfg) -> bool:
+    if (getattr(cfg, "extra", None) or {}).get("serve_prefer_final"):
+        return True
+    if diff is None:
+        return True  # no stage-2 alternative — the final bundle is all we have
+    if final["eval"] is None:
+        log.info("stage-3 final %s has no recorded conditioning eval — "
+                 "serving the stage-2 pair (stamp one with "
+                 "scripts/eval_conditioning.py stamp=1)", final["path"])
+        return False
+    diff_eval = (diff or {}).get("eval")
+    if diff_eval is not None and final["eval"] < diff_eval:
+        log.info("stage-3 final eval %.3f < stage-2 eval %.3f — serving "
+                 "the stage-2 pair", final["eval"], diff_eval)
+        return False
+    return True
+
+
+def describe_candidates(cfg, experiment_name: str = "pokemon") -> str:
+    """Human-readable candidate table (serve CLI --list-checkpoints)."""
+    lines = []
+    for stage in ("final", "diffusion", "vae"):
+        cands = list_candidates(cfg, stage, experiment_name)
+        lines.append(f"[{stage}]" + ("  (none)" if not cands else ""))
+        for c in cands:
+            lines.append(
+                f"  {c['path']}  run={c['run']} step={c['step']} "
+                f"val={c['metric'] if c['metric'] is not None else '-'} "
+                f"eval@1={c['eval'] if c['eval'] is not None else '-'}"
+                + ("  [named]" if c["named"] else ""))
+    vae, diff = resolve_checkpoints(cfg, experiment_name, allow_hub=False)
+    lines.append(f"resolved pair: vae={vae} diffusion={diff}")
+    return "\n".join(lines)
 
 
 def _hub_reachable(timeout: float = 2.0) -> bool:
@@ -69,22 +184,26 @@ def resolve_checkpoints(cfg, experiment_name: str = "pokemon",
                         allow_hub: bool = True) -> Tuple[Optional[str], Optional[str]]:
     """-> (vae_ckpt_path or None, diffusion_ckpt_path or None).
 
-    A stage-3 ``final`` checkpoint (the {vae, text, unet} bundle written
-    by FinalTrainer — the reference serves exactly this model via
-    FinalPokemonGenerator, final_trainer.py:165-213) takes precedence:
-    both slots then point at the same file and the generator loads all
-    three components from it."""
-    final = next((p for p in _local_candidates(cfg, experiment_name, "final")
-                  if p.exists()), None)
-    if final is not None:
-        log.info("serving the stage-3 final checkpoint %s", final)
-        return str(final), str(final)
-    vae = next((p for p in _local_candidates(cfg, experiment_name, "vae")
-                if p.exists()), None)
-    diff = next((p for p in _local_candidates(cfg, experiment_name, "diffusion")
-                 if p.exists()), None)
-    if vae is None and allow_hub:
-        vae = _try_hub(VAE_REPO, "vae_best_model.ckpt")
-    if diff is None and allow_hub:
-        diff = _try_hub(UNET_REPO, "diffusion_best_model.ckpt")
-    return (str(vae) if vae else None, str(diff) if diff else None)
+    When a stage-3 ``final`` bundle wins (see module docstring), both
+    slots point at the same file and the generator loads all three
+    components from it."""
+    diffs = list_candidates(cfg, "diffusion", experiment_name)
+    vaes = list_candidates(cfg, "vae", experiment_name)
+    diff = diffs[0] if diffs else None
+    vae = _pair_vae(cfg, diff, vaes) if diff else (vaes[0] if vaes else None)
+
+    finals = list_candidates(cfg, "final", experiment_name)
+    if finals and _final_shadows(finals[0], diff, cfg):
+        log.info("serving the stage-3 final checkpoint %s", finals[0]["path"])
+        return str(finals[0]["path"]), str(finals[0]["path"])
+
+    vae_p = str(vae["path"]) if vae else None
+    diff_p = str(diff["path"]) if diff else None
+    if diff_p:
+        log.info("serving diffusion %s (val %s) + vae %s", diff_p,
+                 diff.get("metric"), vae_p)
+    if vae_p is None and allow_hub:
+        vae_p = _try_hub(VAE_REPO, "vae_best_model.ckpt")
+    if diff_p is None and allow_hub:
+        diff_p = _try_hub(UNET_REPO, "diffusion_best_model.ckpt")
+    return vae_p, diff_p

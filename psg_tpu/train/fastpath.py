@@ -53,6 +53,9 @@ def device_split(ds, indices, *, text_emb_fn: Optional[Callable] = None,
     if getattr(ds, "clip_ids", None) is not None:  # stage-3 BPE ids
         out["clip_ids"] = jnp.asarray(ds.clip_ids[idx])
         out["clip_mask"] = jnp.asarray(ds.clip_mask[idx])
+    if getattr(ds, "text_ids_aug", None) is not None:  # caption variants
+        out["text_ids_aug"] = jnp.asarray(ds.text_ids_aug[idx])
+        out["text_mask_aug"] = jnp.asarray(ds.text_mask_aug[idx])
     if text_emb_fn is not None:
         embs = []
         n = len(idx)

@@ -118,6 +118,10 @@ class DiffusionTrainer:
 
         # frozen stage-1 components (improved_diffusion_trainer.py:177-208)
         self.frozen = self._load_frozen(vae_checkpoint_path)
+        # recorded in every sidecar so serving/bench resolve the UNet with
+        # the exact VAE that defines its latent space (ADVICE r3)
+        self.vae_ckpt_path = (str(vae_checkpoint_path)
+                              if vae_checkpoint_path else None)
 
         # diffusion schedule (cosine default, :41-48)
         m = cfg.model
@@ -199,6 +203,17 @@ class DiffusionTrainer:
         # conditioning with the zero embedding during training — trains the
         # unconditional branch classifier-free guidance samples against.
         self.cond_dropout = float(extra.get("cond_dropout", 0.0) or 0.0)
+        # extra.caption_augment: K tokenized text-level caption variants
+        # per sample (data/caption_augment.py — name drop, sentence
+        # shuffle/dropout), drawn uniformly per sample per step on device.
+        # Offline substitute for what pretrained BERT buys the reference
+        # (src/models/text_encoder.py:30-40): wording generalization.
+        # 0/None disables (text embeddings then precomputed once).
+        self.caption_augment = int(extra.get("caption_augment", 0) or 0)
+        if self.caption_augment > 0:
+            self.ds.set_caption_variants(
+                self.caption_augment,
+                int(extra.get("caption_aug_seed", cfg.seed)))
 
         self._train_step = jax.jit(self._step, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval)
@@ -315,18 +330,31 @@ class DiffusionTrainer:
 
         def body(st, _):
             rng = jax.random.fold_in(st.rng, st.step)
-            k_idx, k_aug, k_loss, k_drop = jax.random.split(rng, 4)
+            k_idx, k_aug, k_loss, k_drop, k_var = jax.random.split(rng, 5)
             idx = draw_minibatch(k_idx, n, bs)
             imgs_u8 = data["images"][idx]
             if self.cfg.data.augment:
                 imgs = augment_batch(imgs_u8, k_aug, self.ds.background)
             else:
                 imgs = normalize_batch(imgs_u8)
+            if self.caption_augment > 0:
+                # draw a caption variant per sample; frozen-BERT encode
+                # inside the step (~1 ms vs the 655M UNet fwd+bwd) —
+                # cheaper in HBM than precomputing N*K embeddings
+                v = jax.random.randint(k_var, (idx.shape[0],), 0,
+                                       self.caption_augment)
+                t_mask = data["text_mask_aug"][idx, v]
+                t_emb = text_encoder_apply(
+                    frozen["text"], data["text_ids_aug"][idx, v], t_mask,
+                    self.bert_cfg, dtype=self.compute_dtype)
+            else:
+                t_emb = data["text_emb"][idx]
+                t_mask = data["text_mask"][idx]
 
             def loss_fn(p):
                 return self._noise_loss_emb(
-                    p, frozen["vae"], imgs, data["text_emb"][idx],
-                    data["text_mask"][idx], k_loss, dropout_key=k_drop)
+                    p, frozen["vae"], imgs, t_emb,
+                    t_mask, k_loss, dropout_key=k_drop)
 
             loss, grads = jax.value_and_grad(loss_fn)(st.params)
             return self._apply_update(st, loss, grads)
@@ -364,8 +392,11 @@ class DiffusionTrainer:
             lambda tp, ids, mask: text_encoder_apply(
                 tp, ids, mask, self.bert_cfg, dtype=self.compute_dtype)))
         f = lambda ids, mask: emb_fn(self.frozen["text"], ids, mask)  # noqa: E731
-        self._train_data = device_split(self.ds, self.train_loader.indices,
-                                        text_emb_fn=f)
+        # with caption variants the step encodes its drawn variant itself —
+        # don't burn HBM on per-sample embeddings that would go unused
+        self._train_data = device_split(
+            self.ds, self.train_loader.indices,
+            text_emb_fn=None if self.caption_augment > 0 else f)
         ev = eval_batches(self.ds, self.val_loader.indices,
                           self.cfg.data.batch_size)
         nb, bs = ev["text_ids"].shape[:2]
@@ -539,6 +570,7 @@ class DiffusionTrainer:
         return self.ckpt.save(self.state, int(self.state.step),
                               val_loss if allow_best else None,
                               extra_meta={"epoch": epoch,
+                                          "vae_checkpoint": self.vae_ckpt_path,
                                           "config": self.cfg.to_dict()},
                               periodic=((epoch + 1) % self.cfg.training.save_every == 0))
 
@@ -548,7 +580,8 @@ class DiffusionTrainer:
         ~10 GB state costs ~15 min through the tunnel); periodic
         resume-grade full states keep their cadence."""
         tr = self.cfg.training
-        meta = {"epoch": epoch, "config": self.cfg.to_dict()}
+        meta = {"epoch": epoch, "vae_checkpoint": self.vae_ckpt_path,
+                "config": self.cfg.to_dict()}
         is_best = False
         allow_best = val_loss is not None and (
             (epoch + 1) % max(tr.best_every, 1) == 0
@@ -623,6 +656,7 @@ class DiffusionTrainer:
         if epochs > self.start_epoch:
             self.ckpt.save(self.state, int(self.state.step), None,
                            extra_meta={"epoch": epochs - 1,
+                                       "vae_checkpoint": self.vae_ckpt_path,
                                        "config": self.cfg.to_dict()},
                            periodic=True)
         self.log.info("stage 2 fast path: %d epochs in %.1f min",
@@ -655,6 +689,7 @@ class DiffusionTrainer:
         if epochs > self.start_epoch:
             self.ckpt.save(self.state, int(self.state.step), None,
                            extra_meta={"epoch": epochs - 1,
+                                       "vae_checkpoint": self.vae_ckpt_path,
                                        "config": self.cfg.to_dict()},
                            periodic=True)
         self.metrics.flush()

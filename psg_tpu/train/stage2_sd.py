@@ -118,6 +118,9 @@ class SDDiffusionTrainer:
                               width_scale=m.vae_width_scale)
         text_params = jit_init(text_encoder_init, k_text, self.bert_cfg,
                                m.text_embedding_dim)
+        # recorded in every sidecar for paired serving resolution (ADVICE r3)
+        self.vae_ckpt_path = (str(vae_checkpoint_path)
+                              if vae_checkpoint_path else None)
         if vae_checkpoint_path and Path(vae_checkpoint_path).exists():
             from psg_tpu.core.checkpoint import load_params
 
@@ -337,6 +340,7 @@ class SDDiffusionTrainer:
         return self.ckpt.save(self.state, int(self.state.step),
                               val_loss if allow_best else None,
                               extra_meta={"epoch": epoch,
+                                          "vae_checkpoint": self.vae_ckpt_path,
                                           "config": self.cfg.to_dict()},
                               periodic=((epoch + 1) % self.cfg.training.save_every == 0))
 

@@ -115,6 +115,29 @@ def test_stage2_fast_path_trains_with_ema(tmp_path):
 
 @needs_data
 @pytest.mark.slow
+def test_stage2_fast_path_caption_augment(tmp_path):
+    """Caption variants + cond-dropout: the r4 CFG recipe trains and the
+    per-step variant draw changes nothing about shapes/finiteness."""
+    from psg_tpu.train.stage2_diffusion import DiffusionTrainer
+
+    cfg = _tiny_cfg(tmp_path)
+    cfg.extra = {"caption_augment": 4, "cond_dropout": 0.25,
+                 "snr_gamma": 5.0}
+    t = DiffusionTrainer(cfg, vae_checkpoint_path=None, experiment_name="fpa")
+    assert t.ds.text_ids_aug.shape[1] == 4
+    t.train_loader.indices = t.train_loader.indices[:8]
+    t.val_loader.indices = t.val_loader.indices[:5]
+    best = t.train()
+    assert int(t.state.step) == 8
+    assert best.exists()
+    assert np.isfinite(float(t.best_val))
+    # the train split kept ids (not N*K precomputed embeddings) in HBM
+    assert "text_emb" not in t._train_data
+    assert "text_ids_aug" in t._train_data
+
+
+@needs_data
+@pytest.mark.slow
 def test_stage1_fast_path_trains(tmp_path):
     from psg_tpu.train.stage1_vae import VAETrainer
 

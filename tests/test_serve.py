@@ -358,3 +358,159 @@ def test_tfidf_index_unit():
     assert idx.sims("shell turtle water").argmax() == 1
     assert np.allclose(idx.sims("xyzzy qwerty"), 0.0)
     assert np.allclose(idx.sims(""), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-resolution policy (VERDICT r3 #3 + ADVICE r3) — pure-filesystem
+# tests against fake .ckpt files + sidecar JSONs.  The policy under test:
+# recorded best-val beats mtime, VAE/UNet resolve as a latent-space pair,
+# and a drifted stage-3 bundle never shadows a better stage-2 pair.
+# ---------------------------------------------------------------------------
+
+def _fake_ckpt(root, run, stage, *, metric=None, vae_checkpoint=None,
+               eval_at_1=None, mtime=None):
+    import json as _json
+
+    d = root / f"{run}_{stage}" / "checkpoints"
+    d.mkdir(parents=True, exist_ok=True)
+    p = d / f"{stage}_best_model.ckpt"
+    p.write_bytes(b"x")
+    meta = {"step": 1}
+    if metric is not None:
+        meta["metric"] = metric
+    if vae_checkpoint is not None:
+        meta["vae_checkpoint"] = str(vae_checkpoint)
+    if eval_at_1 is not None:
+        meta["eval"] = {"retrieval_at_1": eval_at_1}
+    p.with_suffix(".json").write_text(_json.dumps(meta))
+    if mtime is not None:
+        import os
+
+        os.utime(p, (mtime, mtime))
+    return p
+
+
+def test_resolution_recorded_val_beats_mtime(tmp_path):
+    """An in-flight retrain (newer mtime, worse recorded val) must not
+    hijack serving from the measured-best run (VERDICT r3: 'newest ...
+    beat[s] measured best' was the round-3 bug)."""
+    from psg_tpu.serve.hub import resolve_checkpoints
+
+    cfg = Config()
+    cfg.experiment_dir = str(tmp_path)
+    good_vae = _fake_ckpt(tmp_path, "good", "vae", metric=0.03, mtime=1000)
+    _fake_ckpt(tmp_path, "good", "diffusion", metric=0.44,
+               vae_checkpoint=good_vae, mtime=1000)
+    _fake_ckpt(tmp_path, "inflight", "vae", metric=0.09, mtime=2000)
+    _fake_ckpt(tmp_path, "inflight", "diffusion", metric=0.61, mtime=2000)
+
+    vae, diff = resolve_checkpoints(cfg, "nonexistent", allow_hub=False)
+    assert "good_diffusion" in diff
+    assert vae == str(good_vae)
+
+
+def test_resolution_metricless_ranks_last(tmp_path):
+    """A checkpoint without a recorded metric (e.g. mid-write, or an old
+    format) ranks after every measured one, however new it is."""
+    from psg_tpu.serve.hub import list_candidates
+
+    cfg = Config()
+    cfg.experiment_dir = str(tmp_path)
+    _fake_ckpt(tmp_path, "measured", "diffusion", metric=0.50, mtime=1000)
+    bare = tmp_path / "bare_diffusion" / "checkpoints"
+    bare.mkdir(parents=True)
+    (bare / "diffusion_best_model.ckpt").write_bytes(b"x")  # no sidecar
+
+    cands = list_candidates(cfg, "diffusion")
+    assert [c["run"] for c in cands] == ["measured_diffusion", "bare_diffusion"]
+
+
+def test_resolution_pairs_vae_with_unet(tmp_path):
+    """The served VAE must come from the chosen UNet's own run (sidecar
+    pointer first, run-family second) — never a better-val VAE from a
+    different latent space (ADVICE r3 medium)."""
+    from psg_tpu.serve.hub import resolve_checkpoints
+
+    cfg = Config()
+    cfg.experiment_dir = str(tmp_path)
+    # a 'better' VAE from an unrelated run must NOT be paired in
+    _fake_ckpt(tmp_path, "other", "vae", metric=0.001)
+    _fake_ckpt(tmp_path, "run1", "vae", metric=0.05)
+    _fake_ckpt(tmp_path, "run1", "diffusion", metric=0.44)  # no pointer
+
+    vae, diff = resolve_checkpoints(cfg, "nonexistent", allow_hub=False)
+    assert "run1_diffusion" in diff and "run1_vae" in vae
+
+    # explicit sidecar pointer wins over the run-family match
+    target = _fake_ckpt(tmp_path, "elsewhere", "vae", metric=0.07)
+    _fake_ckpt(tmp_path, "run1", "diffusion", metric=0.44,
+               vae_checkpoint=target)
+    vae, _ = resolve_checkpoints(cfg, "nonexistent", allow_hub=False)
+    assert vae == str(target)
+
+
+def test_drifted_final_does_not_shadow(tmp_path):
+    """A stage-3 final bundle whose recorded conditioning eval is worse
+    than the stage-2 candidate's (round 3 measured exactly this drift)
+    must not shadow the stage-2 pair; one at parity or better does; and
+    extra.serve_prefer_final restores the reference's unconditional
+    preference (final_trainer.py:165-213)."""
+    from psg_tpu.serve.hub import resolve_checkpoints
+
+    cfg = Config()
+    cfg.experiment_dir = str(tmp_path)
+    vae_p = _fake_ckpt(tmp_path, "s2", "vae", metric=0.03)
+    _fake_ckpt(tmp_path, "s2", "diffusion", metric=0.44,
+               vae_checkpoint=vae_p, eval_at_1=0.25)
+
+    # drifted final: worse eval -> stage-2 pair served
+    _fake_ckpt(tmp_path, "s3", "final", metric=0.2, eval_at_1=0.0)
+    vae, diff = resolve_checkpoints(cfg, "nonexistent", allow_hub=False)
+    assert "s2_diffusion" in diff and vae == str(vae_p)
+
+    # eval-less final -> also not served while a stage-2 pair exists
+    _fake_ckpt(tmp_path, "s3", "final", metric=0.2)
+    vae, diff = resolve_checkpoints(cfg, "nonexistent", allow_hub=False)
+    assert "s2_diffusion" in diff
+
+    # final at parity or better -> shadows
+    _fake_ckpt(tmp_path, "s3", "final", metric=0.2, eval_at_1=0.30)
+    vae, diff = resolve_checkpoints(cfg, "nonexistent", allow_hub=False)
+    assert vae == diff and "s3_final" in diff
+
+    # reference-compat override
+    _fake_ckpt(tmp_path, "s3", "final", metric=0.2, eval_at_1=0.0)
+    cfg.extra["serve_prefer_final"] = True
+    vae, diff = resolve_checkpoints(cfg, "nonexistent", allow_hub=False)
+    assert vae == diff and "s3_final" in diff
+
+
+def test_sampler_default_unified():
+    """CLI --sampler default and build_generator()'s sampler default must
+    agree (VERDICT r3 #5: a programmatic caller silently got 'renoise',
+    the worst sampler in the zoo, while the CLI default was 'ddim')."""
+    import argparse
+    import inspect
+
+    from psg_tpu.serve.app import build_generator, main
+
+    sig = inspect.signature(build_generator)
+    api_default = sig.parameters["sampler"].default
+
+    # pull the CLI default without running a generator: parse --help tree
+    parser_default = None
+    orig_parse = argparse.ArgumentParser.parse_args
+
+    def grab(self, *a, **k):
+        nonlocal parser_default
+        parser_default = self.get_default("sampler")
+        raise SystemExit(0)
+
+    argparse.ArgumentParser.parse_args = grab
+    try:
+        import pytest as _pytest
+        with _pytest.raises(SystemExit):
+            main([])
+    finally:
+        argparse.ArgumentParser.parse_args = orig_parse
+    assert api_default == parser_default == "ddim"
