@@ -119,10 +119,14 @@ class _TfidfIndex:
 class PokemonGenerator:
     def __init__(self, cfg: Config, vae_checkpoint=None, diffusion_checkpoint=None,
                  tokenizer=None, mesh=None, schedule_kind: str = "linear",
-                 sampler: str = "renoise", guidance_scale: float = 0.0,
+                 sampler: str = "ddim", guidance_scale: float = 0.0,
                  negative: str = "zero", retrieval_mode: str = "hybrid"):
         self.cfg = cfg
         self.retrieval_mode = retrieval_mode
+        # kept for introspection/stamping (scripts/eval_conditioning.py)
+        self.vae_checkpoint = str(vae_checkpoint) if vae_checkpoint else None
+        self.diffusion_checkpoint = (str(diffusion_checkpoint)
+                                     if diffusion_checkpoint else None)
         self.compute_dtype = (
             jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None
         )

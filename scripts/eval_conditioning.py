@@ -91,7 +91,7 @@ def main() -> int:
                        if "=" in a and a not in ("init=retrieval-loo",
                                                  "init=retrieval",
                                                  "prompts=paraphrase")
-                       and not a.startswith(("strength=", "seed="))]
+                       and not a.startswith(("strength=", "seed=", "stamp="))]
     argv = [a for a in sys.argv[1:] if "=" not in a]
     force_cpu = "device=cpu" in extra_overrides
     name = argv[0] if len(argv) > 0 else "evidence_r3b"
@@ -187,6 +187,26 @@ def main() -> int:
     save_image_grid(generated, out.with_suffix(".png"), captions=captions)
     report["grid"] = str(out.with_suffix(".png"))
     out.write_text(json.dumps(report, indent=2))
+    if "stamp=1" in sys.argv[1:]:
+        # record the headline in the evaluated checkpoint's sidecar so
+        # serving resolution (serve/hub.py) can rank this checkpoint by
+        # MEASURED conditioning, not just val loss — in particular a
+        # stage-3 final bundle only shadows a stage-2 pair when its
+        # stamped eval is not worse
+        ck = getattr(gen, "diffusion_checkpoint", None)
+        if ck:
+            side = Path(ck).with_suffix(".json")
+            meta = json.loads(side.read_text()) if side.exists() else {}
+            meta.setdefault("eval", {})["retrieval_at_1"] = report[
+                "retrieval_at_1"]
+            meta["eval"]["recipe"] = {
+                "sampler": report["sampler"], "guidance": guidance,
+                "negative": negative, "init": report["init"],
+                "n": len(captions), "seed": seed,
+                "prompts": "paraphrase" if paraphrase else "dataset"}
+            side.write_text(json.dumps(meta, indent=2))
+            print(f"stamped eval.retrieval_at_1={report['retrieval_at_1']} "
+                  f"into {side}", file=sys.stderr)
     print(json.dumps({k: v for k, v in report.items() if k != "per_sprite"}))
     return 0
 
