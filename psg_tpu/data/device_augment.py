@@ -26,9 +26,14 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-# Rec.601 luma, what PIL uses for L-mode conversions
-_LUMA = jnp.array([0.299, 0.587, 0.114], jnp.float32)
+# Rec.601 luma, what PIL uses for L-mode conversions.  Kept as a numpy
+# constant on purpose: a module-level jnp.array becomes a TRACER when the
+# module is first imported inside a jit trace (stage 3's lazy import did
+# exactly that and crashed the joint phase with an UnexpectedTracerError
+# at the re-trace); numpy constants are trace-safe.
+_LUMA = np.array([0.299, 0.587, 0.114], np.float32)
 
 
 def _affine_coords(size: int, angle, scale_hw, center_shift):

@@ -328,8 +328,14 @@ class FinalTrainer:
     # -- device-resident fast path (train/fastpath.py) -----------------------
 
     def _fast_epoch_impl(self, state: TrainState, clip_params, data):
-        from psg_tpu.data.device_augment import augment_batch, normalize_batch
-        from psg_tpu.train.fastpath import draw_minibatch
+        # NOTE: imports deliberately NOT done here — a lazy import inside a
+        # jitted function runs at trace time, and any module-level array the
+        # imported module builds becomes a tracer that leaks into later
+        # traces (this crashed the round-4 stage-3 joint phase at its
+        # re-jit).  All imports happen in _setup_fast_data instead.
+        augment_batch = self._augment_batch
+        normalize_batch = self._normalize_batch
+        draw_minibatch = self._draw_minibatch
 
         n = data["images"].shape[0]
         bs = self.cfg.data.batch_size
@@ -364,7 +370,7 @@ class FinalTrainer:
         return jax.lax.scan(body, state, None, length=self._fast_len)
 
     def _fast_val_impl(self, state: TrainState, clip_params, ev):
-        from psg_tpu.data.device_augment import normalize_batch
+        normalize_batch = self._normalize_batch
 
         def body(carry, inp):
             i, batch = inp
@@ -387,8 +393,13 @@ class FinalTrainer:
         return tot / jnp.maximum(cnt, 1.0)
 
     def _setup_fast_data(self):
-        from psg_tpu.train.fastpath import device_split, eval_batches
+        from psg_tpu.data.device_augment import augment_batch, normalize_batch
+        from psg_tpu.train.fastpath import (device_split, draw_minibatch,
+                                            eval_batches)
 
+        self._augment_batch = augment_batch
+        self._normalize_batch = normalize_batch
+        self._draw_minibatch = draw_minibatch
         self._train_data = device_split(self.ds, self.train_loader.indices)
         self._val_data = eval_batches(self.ds, self.val_loader.indices,
                                       self.cfg.data.batch_size)

@@ -186,3 +186,28 @@ def test_eval_batches_padding_weights():
     w = np.asarray(ev["weight"])
     assert w.sum() == 5.0
     assert w[-1, -1] == 0.0
+
+
+def test_device_augment_first_import_under_trace_then_retrace():
+    """Regression: round-4 stage 3 crashed at the joint-phase re-jit with
+    an UnexpectedTracerError because device_augment was first imported
+    INSIDE a jit trace (module-level jnp constants become tracers of that
+    trace, then leak into the next one).  Simulate the first-import-under-
+    trace by evicting the module, trace once, then trace again."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.modules.pop("psg_tpu.data.device_augment", None)
+
+    def f(imgs, key):
+        from psg_tpu.data.device_augment import augment_batch
+
+        return augment_batch(imgs, key)
+
+    imgs = jnp.zeros((2, 16, 16, 3), jnp.uint8)
+    key = jax.random.PRNGKey(0)
+    a = jax.jit(f)(imgs, key)                     # first trace imports the module
+    b = jax.jit(lambda i, k: f(i, k) * 2.0)(imgs, key)  # re-trace reuses constants
+    assert jnp.isfinite(a).all() and jnp.isfinite(b).all()
