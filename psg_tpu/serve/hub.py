@@ -7,9 +7,12 @@ locally only.
 
 Resolution policy (VERDICT r3 #3 + ADVICE r3):
 
-- candidates are ranked by the RECORDED best validation loss in each
-  checkpoint's sidecar JSON, not by mtime — "newest" must never shadow
-  "measured best" (an in-flight retrain would otherwise hijack serving);
+- candidates are ranked by the STAMPED conditioning eval in each
+  checkpoint's sidecar JSON when present (``eval.retrieval_at_1``), then
+  by the recorded best validation loss, never by mtime — "newest" must
+  not shadow "measured best" (an in-flight retrain would otherwise
+  hijack serving), and a better val loss must not shadow a measured
+  conditioning regression (round 4 hit exactly that divergence);
 - the VAE and the diffusion checkpoint are resolved as a PAIR: a UNet's
   latent space is defined by the frozen VAE it trained against, so the
   diffusion sidecar's recorded ``vae_checkpoint`` is followed first,
@@ -63,9 +66,16 @@ def _candidate(path: Path, named: bool = False) -> Dict:
 def list_candidates(cfg, stage: str,
                     experiment_name: Optional[str] = None) -> List[Dict]:
     """All on-disk best checkpoints of ``stage``, ranked best-first:
-    explicitly-named run first, then by recorded val metric ascending
-    (checkpoints without a recorded metric rank after those with one,
-    newest first among themselves)."""
+
+    1. the explicitly-named run;
+    2. runs with a STAMPED conditioning eval (``eval.retrieval_at_1``,
+       written by scripts/eval_conditioning.py stamp=1), highest first —
+       round 4 measured a retrain whose val loss improved while its
+       conditioning collapsed to 0.0, so val loss alone must never
+       outrank a measured conditioning number;
+    3. runs with only a recorded val metric, ascending;
+    4. metricless checkpoints (mid-write / old format), newest first.
+    """
     exp = Path(cfg.experiment_dir)
     seen = set()
     out: List[Dict] = []
@@ -84,8 +94,10 @@ def list_candidates(cfg, stage: str,
         add(p, named=False)
 
     def key(c):
+        has_eval = c["eval"] is not None
         has_metric = c["metric"] is not None
-        return (not c["named"], not has_metric,
+        return (not c["named"], not has_eval,
+                -(c["eval"] if has_eval else 0.0), not has_metric,
                 c["metric"] if has_metric else -c["mtime"])
 
     out.sort(key=key)
@@ -114,6 +126,13 @@ def _pair_vae(cfg, diff: Dict, vaes: List[Dict]) -> Optional[Dict]:
     return None
 
 
+def _family(run: str) -> str:
+    for suffix in ("_final", "_diffusion", "_vae", "_diffusers"):
+        if run.endswith(suffix):
+            return run[: -len(suffix)]
+    return run
+
+
 def _final_shadows(final: Dict, diff: Optional[Dict], cfg) -> bool:
     if (getattr(cfg, "extra", None) or {}).get("serve_prefer_final"):
         return True
@@ -125,6 +144,17 @@ def _final_shadows(final: Dict, diff: Optional[Dict], cfg) -> bool:
                  "scripts/eval_conditioning.py stamp=1)", final["path"])
         return False
     diff_eval = (diff or {}).get("eval")
+    if _family(final["run"]) != _family(diff["run"]) and not final["named"]:
+        # A final bundle from ANOTHER run may only shadow on measured
+        # merit: both sides stamped and the final not worse.  Round 4 hit
+        # the failure this guards: an eval explicitly requesting the
+        # (unstamped) evidence_r3c pair was silently answered by the
+        # evidence_r4 final bundle.
+        if diff_eval is None:
+            log.info("foreign-run final %s (eval %.3f) does not shadow the "
+                     "unstamped stage-2 pair %s", final["path"],
+                     final["eval"], diff["path"])
+            return False
     if diff_eval is not None and final["eval"] < diff_eval:
         log.info("stage-3 final eval %.3f < stage-2 eval %.3f — serving "
                  "the stage-2 pair", final["eval"], diff_eval)

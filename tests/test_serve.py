@@ -514,3 +514,52 @@ def test_sampler_default_unified():
     finally:
         argparse.ArgumentParser.parse_args = orig_parse
     assert api_default == parser_default == "ddim"
+
+
+def test_resolution_stamped_eval_beats_val_metric(tmp_path):
+    """Round 4: a retrain reached BETTER val loss (0.4409 < 0.4473) with
+    conditioning measured at 0.0 retrieval@1.  A stamped conditioning
+    eval is the primary ranking key; val loss alone must not promote a
+    measured-worse model, and an unstamped run must not outrank a
+    stamped one."""
+    from psg_tpu.serve.hub import list_candidates, resolve_checkpoints
+
+    cfg = Config()
+    cfg.experiment_dir = str(tmp_path)
+    bound_vae = _fake_ckpt(tmp_path, "bound", "vae", metric=0.05, mtime=1000)
+    _fake_ckpt(tmp_path, "bound", "diffusion", metric=0.447,
+               vae_checkpoint=bound_vae, eval_at_1=0.375, mtime=1000)
+    _fake_ckpt(tmp_path, "collapsed", "vae", metric=0.04, mtime=2000)
+    _fake_ckpt(tmp_path, "collapsed", "diffusion", metric=0.441,
+               eval_at_1=0.0, mtime=2000)
+    _fake_ckpt(tmp_path, "unstamped", "diffusion", metric=0.430, mtime=3000)
+
+    cands = list_candidates(cfg, "diffusion")
+    assert [c["run"] for c in cands] == [
+        "bound_diffusion", "collapsed_diffusion", "unstamped_diffusion"]
+
+    vae, diff = resolve_checkpoints(cfg, "nonexistent", allow_hub=False)
+    assert "bound_diffusion" in diff
+    assert vae == str(bound_vae)
+
+
+def test_foreign_final_does_not_shadow_named_unstamped_pair(tmp_path):
+    """Round 4, measured live: an eval naming the (unstamped) evidence_r3c
+    stage-2 pair was silently answered by the evidence_r4 FINAL bundle —
+    a final from another run family must not shadow an unstamped stage-2
+    pair; same-family finals keep the reference's prefer-final behavior."""
+    from psg_tpu.serve.hub import resolve_checkpoints
+
+    cfg = Config()
+    cfg.experiment_dir = str(tmp_path)
+    vae = _fake_ckpt(tmp_path, "r3c", "vae", metric=0.05)
+    _fake_ckpt(tmp_path, "r3c", "diffusion", metric=0.448, vae_checkpoint=vae)
+    _fake_ckpt(tmp_path, "r4", "final", metric=0.045, eval_at_1=0.0625)
+
+    vae_p, diff_p = resolve_checkpoints(cfg, "r3c", allow_hub=False)
+    assert "r3c_diffusion" in diff_p
+
+    # same family: the final may shadow (reference behavior preserved)
+    _fake_ckpt(tmp_path, "r3c", "final", metric=0.044, eval_at_1=0.5)
+    vae_p, diff_p = resolve_checkpoints(cfg, "r3c", allow_hub=False)
+    assert "r3c_final" in diff_p
