@@ -73,15 +73,21 @@ def augment_caption(full_desc: str, rng: np.random.RandomState,
 
 
 def caption_variants(full_descriptions: Sequence[str], k: int,
-                     seed: int = 0) -> List[List[str]]:
+                     seed: int = 0,
+                     p_name_drop: float = 0.5) -> List[List[str]]:
     """K variants per caption; ``out[i][0]`` is always the canonical
-    caption.  Deterministic in (seed, k)."""
+    caption.  Deterministic in (seed, k, p_name_drop).
+
+    ``p_name_drop`` exists because round 4 measured that dropping the
+    "Pokemon named X." prefix at the default 0.5 collapses name-keyed
+    conditioning (retrieval@1 0.375 -> 0.0); a name-preserving fine-tune
+    sets it to 0 and keeps only sentence shuffle/dropout."""
     out = []
     for i, desc in enumerate(full_descriptions):
         rng = np.random.RandomState(
             np.random.RandomState(seed).randint(1 << 31) ^ (i * 2654435761 % (1 << 31)))
         variants = [desc]
         for _ in range(max(k - 1, 0)):
-            variants.append(augment_caption(desc, rng))
+            variants.append(augment_caption(desc, rng, p_name_drop=p_name_drop))
         out.append(variants)
     return out

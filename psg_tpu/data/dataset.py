@@ -173,7 +173,8 @@ class PokemonDataset:
         self.clip_ids = self.clip_mask = None
         self.text_ids_aug = self.text_mask_aug = None
 
-    def set_caption_variants(self, k: int, seed: int = 0) -> None:
+    def set_caption_variants(self, k: int, seed: int = 0,
+                             p_name_drop: float = 0.5) -> None:
         """Pre-tokenize K augmented caption variants per sample
         (data/caption_augment.py); batches gain ``text_ids_aug`` /
         ``text_mask_aug`` shaped [N, K, L] with variant 0 canonical.
@@ -182,7 +183,8 @@ class PokemonDataset:
 
         if self.tokenizer is None:
             raise ValueError("set a tokenizer before caption variants")
-        variants = caption_variants(self.full_descriptions, k, seed)
+        variants = caption_variants(self.full_descriptions, k, seed,
+                                    p_name_drop=p_name_drop)
         flat = [v for vs in variants for v in vs]
         ids, mask = self.tokenizer.encode_batch(flat, max_len=self.text_len)
         n = len(variants)

@@ -211,9 +211,13 @@ class DiffusionTrainer:
         # 0/None disables (text embeddings then precomputed once).
         self.caption_augment = int(extra.get("caption_augment", 0) or 0)
         if self.caption_augment > 0:
+            # extra.caption_name_drop: probability an augmented variant
+            # loses its "Pokemon named X." prefix.  Round 4 measured the
+            # 0.5 default collapsing name conditioning; 0 keeps names.
             self.ds.set_caption_variants(
                 self.caption_augment,
-                int(extra.get("caption_aug_seed", cfg.seed)))
+                int(extra.get("caption_aug_seed", cfg.seed)),
+                p_name_drop=float(extra.get("caption_name_drop", 0.5)))
 
         self._train_step = jax.jit(self._step, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval)

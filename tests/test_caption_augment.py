@@ -80,3 +80,22 @@ def test_dataset_set_caption_variants_shapes():
     assert ds.text_mask_aug.shape == (n, 4, 32)
     # variant 0 tokenizes identically to the canonical ids
     np.testing.assert_array_equal(ds.text_ids_aug[:, 0], ds.text_ids)
+
+
+def test_name_drop_zero_keeps_every_name():
+    """caption_name_drop=0 must preserve the 'Pokemon named X.' prefix in
+    every variant (round 4: p=0.5 name drop collapsed retrieval@1 to 0)."""
+    from psg_tpu.data.caption_augment import caption_variants
+
+    descs = [
+        "Pokemon named Bulbasaur. A green seed creature. It has a bulb.",
+        "Pokemon named Pikachu. A yellow mouse. Red cheeks. Lightning tail.",
+    ]
+    out = caption_variants(descs, k=6, seed=3, p_name_drop=0.0)
+    for vs in out:
+        for v in vs:
+            assert v.startswith("Pokemon named ")
+    # default 0.5 drops some names somewhere (sanity that the knob matters)
+    out_default = caption_variants(descs, k=6, seed=3)
+    assert any(not v.startswith("Pokemon named ")
+               for vs in out_default for v in vs[1:])
