@@ -145,15 +145,16 @@ def _final_shadows(final: Dict, diff: Optional[Dict], cfg) -> bool:
         return False
     diff_eval = (diff or {}).get("eval")
     if _family(final["run"]) != _family(diff["run"]) and not final["named"]:
-        # A final bundle from ANOTHER run may only shadow on measured
-        # merit: both sides stamped and the final not worse.  Round 4 hit
-        # the failure this guards: an eval explicitly requesting the
+        # A final bundle from ANOTHER run never shadows an explicitly-
+        # named stage-2 pair, and shadows an unnamed one only on measured
+        # merit (both sides stamped; the not-worse check below).  Round 4
+        # hit the failure this guards: an eval explicitly requesting the
         # (unstamped) evidence_r3c pair was silently answered by the
         # evidence_r4 final bundle.
-        if diff_eval is None:
-            log.info("foreign-run final %s (eval %.3f) does not shadow the "
-                     "unstamped stage-2 pair %s", final["path"],
-                     final["eval"], diff["path"])
+        if diff["named"] or diff_eval is None:
+            log.info("foreign-run final %s does not shadow the %s stage-2 "
+                     "pair %s", final["path"],
+                     "named" if diff["named"] else "unstamped", diff["path"])
             return False
     if diff_eval is not None and final["eval"] < diff_eval:
         log.info("stage-3 final eval %.3f < stage-2 eval %.3f — serving "

@@ -563,3 +563,19 @@ def test_foreign_final_does_not_shadow_named_unstamped_pair(tmp_path):
     _fake_ckpt(tmp_path, "r3c", "final", metric=0.044, eval_at_1=0.5)
     vae_p, diff_p = resolve_checkpoints(cfg, "r3c", allow_hub=False)
     assert "r3c_final" in diff_p
+
+
+def test_foreign_final_never_shadows_named_pair_even_if_stamped_better(tmp_path):
+    """An explicitly-named experiment must resolve to its own family even
+    when a foreign final carries a better stamp — naming IS the override."""
+    from psg_tpu.serve.hub import resolve_checkpoints
+
+    cfg = Config()
+    cfg.experiment_dir = str(tmp_path)
+    vae = _fake_ckpt(tmp_path, "mine", "vae", metric=0.05)
+    _fake_ckpt(tmp_path, "mine", "diffusion", metric=0.448,
+               vae_checkpoint=vae, eval_at_1=0.1)
+    _fake_ckpt(tmp_path, "other", "final", metric=0.04, eval_at_1=0.9)
+
+    _, diff_p = resolve_checkpoints(cfg, "mine", allow_hub=False)
+    assert "mine_diffusion" in diff_p
