@@ -75,6 +75,10 @@ _HEAVY = {
     "test_fused_gradients_match",
     "test_onecycle_schedule_selected_for_cosine",
     "test_sd_trainer_dp_on_mesh",
+    "test_clip_parity_random_weights",
+    "test_timestep_changes_output",
+    "test_cold_head_no_underflow_nan",
+    "test_augment_batch_shape_range_determinism",
 }
 
 
