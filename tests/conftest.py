@@ -79,6 +79,10 @@ _HEAVY = {
     "test_timestep_changes_output",
     "test_cold_head_no_underflow_nan",
     "test_augment_batch_shape_range_determinism",
+    "test_stage1_loads_dropped_bert_weights",
+    "test_cosine_schedule_matches_reference",
+    "test_reference_unet_block_parity",
+    "test_vae_roundtrip_mae",
 }
 
 
