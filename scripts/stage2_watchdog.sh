@@ -19,6 +19,22 @@ PIDFILE=/tmp/stage2_r3.pid
 STALE=720   # seconds without a log write = hung (relaunch->first epoch
             # line takes ~8 min: frozen-VAE load + remote compile)
 WLOG=/tmp/watchdog.log
+# Completion is checked only against log bytes written after the current
+# launch (the append-across-restarts log may carry an earlier segment's
+# completion marker).
+LOG_OFFSET=$(stat -c %s "$LOG" 2>/dev/null || echo 0)
+
+find_pid() {
+  # Anchor on comm == python* so the `timeout` wrapper (whose cmdline
+  # contains the same pattern) is never the match.
+  for p in /proc/[0-9]*; do
+    comm=$(cat "$p/comm" 2>/dev/null)
+    case "$comm" in python*) ;; *) continue;; esac
+    c=$(tr '\0' ' ' < "$p/cmdline" 2>/dev/null)
+    case "$c" in *"$1"*) echo "${p##*/}"; return 0;; esac
+  done
+  return 1
+}
 
 relaunch() {
   echo "$(date -u +%T) relaunching from $BEST" >> "$WLOG"
@@ -36,26 +52,44 @@ relaunch() {
     --override extra.cond_dropout=0.1 \
     --override extra.snr_gamma=5.0 \
     > /tmp/stage2_r3.out 2>&1 < /dev/null &
-  echo $! > "$PIDFILE"
+  # setsid forks, so $! can be a dead wrapper; resolve the real python
+  # pid from /proc (inspection only — never pattern-kill).
+  np=""
+  for i in $(seq 40); do
+    sleep 3
+    np=$(find_pid "psg_tpu.train.cli --stage 2") && break
+  done
+  if [ -n "$np" ]; then
+    echo "$np" > "$PIDFILE"
+    LOG_OFFSET=$(stat -c %s "$LOG" 2>/dev/null || echo 0)
+  else
+    echo "$(date -u +%T) ERROR: trainer did not appear within 120s" >> "$WLOG"
+    rm -f "$PIDFILE"
+  fi
 }
 
 kill_trainer() {
+  # TERM, poll for exit, and only escalate to KILL if the process is
+  # confirmed still alive (SIGKILL on a wrapper orphans the real trainer
+  # and double-spawns onto the TPU).
   pid=$(cat "$PIDFILE" 2>/dev/null)
   if [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null; then
     kill "$pid" 2>/dev/null
-    sleep 5
+    for i in $(seq 10); do
+      sleep 2
+      kill -0 "$pid" 2>/dev/null || { rm -f "$PIDFILE"; return 0; }
+    done
     kill -9 "$pid" 2>/dev/null
   fi
+  rm -f "$PIDFILE"
 }
 
 while true; do
   sleep 60
   [ -f /tmp/stage2_watchdog.stop ] && { echo "$(date -u +%T) stop requested" >> "$WLOG"; exit 0; }
-  if grep -q "stage 2 fast path: .* epochs in" "$LOG" 2>/dev/null; then
-    last=$(stat -c %Y "$LOG"); now=$(date +%s)
-    if [ $((now - last)) -gt 600 ]; then
-      echo "$(date -u +%T) run complete" >> "$WLOG"; exit 0
-    fi
+  if [ -f "$LOG" ] && tail -c +$((LOG_OFFSET + 1)) "$LOG" \
+      | grep -q "stage 2 fast path: .* epochs in"; then
+    echo "$(date -u +%T) run complete" >> "$WLOG"; exit 0
   fi
   last=$(stat -c %Y "$LOG" 2>/dev/null || echo 0); now=$(date +%s)
   if [ $((now - last)) -gt $STALE ]; then

@@ -13,6 +13,10 @@ BEST=experiments/evidence_r3c_diffusion/checkpoints/diffusion_best_model.ckpt
 PIDFILE=/tmp/stage2_r3c.pid
 STALE=720
 WLOG=/tmp/watchdog_r3c.log
+# ADVICE r3: completion is checked only against log bytes written after
+# the current launch — the append-across-restarts log already contains an
+# earlier segment's completion marker.
+LOG_OFFSET=$(stat -c %s "$LOG" 2>/dev/null || echo 0)
 
 relaunch() {
   echo "$(date -u +%T) relaunching from $BEST" >> "$WLOG"
@@ -38,34 +42,51 @@ relaunch() {
     np=$(find_pid "psg_tpu.train.cli --stage 2")
     [ -n "$np" ] && break
   done
-  echo "${np#/proc/}" > "$PIDFILE"
+  if [ -n "$np" ]; then
+    echo "$np" > "$PIDFILE"
+    LOG_OFFSET=$(stat -c %s "$LOG" 2>/dev/null || echo 0)
+  else
+    # ADVICE r3: an empty pidfile made kill_trainer a no-op forever while
+    # every stale cycle spawned another trainer.  Treat it as an error.
+    echo "$(date -u +%T) ERROR: trainer did not appear within 120s" >> "$WLOG"
+    rm -f "$PIDFILE"
+  fi
 }
 
 find_pid() {
-  for p in /proc/[0-9]*/cmdline; do
-    c=$(tr '\0' ' ' < "$p" 2>/dev/null)
-    case "$c" in *"$1"*) echo "${p%/cmdline}"; return 0;; esac
+  # ADVICE r3: anchor on comm == python* so the `timeout` wrapper (whose
+  # cmdline contains the same pattern) is never the match.
+  for p in /proc/[0-9]*; do
+    comm=$(cat "$p/comm" 2>/dev/null)
+    case "$comm" in python*) ;; *) continue;; esac
+    c=$(tr '\0' ' ' < "$p/cmdline" 2>/dev/null)
+    case "$c" in *"$1"*) echo "${p##*/}"; return 0;; esac
   done
   return 1
 }
 
 kill_trainer() {
+  # ADVICE r3: TERM, poll for exit, and only escalate to KILL if the
+  # process is confirmed still alive (SIGKILL on a wrapper orphans the
+  # real trainer and double-spawns onto the TPU).
   pid=$(cat "$PIDFILE" 2>/dev/null)
   if [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null; then
     kill "$pid" 2>/dev/null
-    sleep 5
+    for i in $(seq 10); do
+      sleep 2
+      kill -0 "$pid" 2>/dev/null || { rm -f "$PIDFILE"; return 0; }
+    done
     kill -9 "$pid" 2>/dev/null
   fi
+  rm -f "$PIDFILE"
 }
 
 while true; do
   sleep 60
   [ -f /tmp/stage2_watchdog_r3c.stop ] && { echo "$(date -u +%T) stop requested" >> "$WLOG"; exit 0; }
-  if grep -q "stage 2 fast path: .* epochs in" "$LOG" 2>/dev/null; then
-    last=$(stat -c %Y "$LOG"); now=$(date +%s)
-    if [ $((now - last)) -gt 600 ]; then
-      echo "$(date -u +%T) run complete" >> "$WLOG"; exit 0
-    fi
+  if [ -f "$LOG" ] && tail -c +$((LOG_OFFSET + 1)) "$LOG" \
+      | grep -q "stage 2 fast path: .* epochs in"; then
+    echo "$(date -u +%T) run complete" >> "$WLOG"; exit 0
   fi
   last=$(stat -c %Y "$LOG" 2>/dev/null || echo 0); now=$(date +%s)
   if [ $((now - last)) -gt $STALE ]; then
