@@ -142,3 +142,32 @@ def test_paraphrase_prompt_set_consistency():
     names = [r["english_name"] for r in rows[:n]]
     for cap, name in zip(mod.PARAPHRASES, names):
         assert name.lower() not in cap.lower(), (name, cap)
+
+
+def test_pooled_binomial_across_seeds():
+    """scripts/eval_table.py --pool: exact binomial tail over summed
+    hits/trials; a single report pools to its own retrieval_p_value, and
+    two identical 3/16 seed reports at chance 1/16 clear p<0.05 where one
+    does not (the VERDICT r4 replication criterion)."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "eval_table",
+        Path(__file__).resolve().parent.parent / "scripts" / "eval_table.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    one = {"n": 16, "chance_retrieval": 1 / 16, "retrieval_at_1": 3 / 16}
+    single = mod.pooled_binomial([one])
+    assert abs(single["pooled_p_value"] - 0.07420726082533873) < 1e-12
+    assert single["hits"] == 3
+
+    pooled = mod.pooled_binomial([one, dict(one)])
+    assert pooled["n"] == 32 and pooled["hits"] == 6
+    assert pooled["pooled_p_value"] < 0.05 < single["pooled_p_value"]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        mod.pooled_binomial([one, {**one, "chance_retrieval": 1 / 8}])
