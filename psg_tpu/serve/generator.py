@@ -138,6 +138,19 @@ class PokemonGenerator:
                                       schedule_kind)
         self.sampler_name = sampler
         self.guidance_scale = float(guidance_scale)
+        # Inference-time CFG shaping (no retraining; ddim/dpmpp only):
+        # - extra.guidance_rescale in [0,1]: blend toward a std-rescaled
+        #   guided eps (Lin et al. 2023 §3.4 — CFG inflates the noise
+        #   prediction's variance, which washes out structure exactly the
+        #   way the from-prior grids show); 0 = off.
+        # - extra.guidance_interval_lo/hi (fractions of T): apply CFG only
+        #   for lo*T <= t <= hi*T (Kynkäänniemi et al. 2024 — guidance at
+        #   the extreme noise levels hurts; the band keeps it where it
+        #   helps).  Defaults (0,1) = all steps.
+        self.guidance_rescale = float(cfg.extra.get("guidance_rescale", 0.0))
+        T = m.num_timesteps
+        self.guidance_t_lo = float(cfg.extra.get("guidance_interval_lo", 0.0)) * T
+        self.guidance_t_hi = float(cfg.extra.get("guidance_interval_hi", 1.0)) * T
         self.mesh = mesh
 
         if tokenizer is None:
@@ -296,6 +309,8 @@ class PokemonGenerator:
                 emb_cat = jnp.concatenate([text_emb, neg_emb], axis=0)
                 mask_cat = jnp.concatenate([text_mask, neg_mask], axis=0)
                 g = self.guidance_scale
+                resc = self.guidance_rescale
+                t_lo, t_hi = self.guidance_t_lo, self.guidance_t_hi
 
                 def guided(x, t):
                     xx = jnp.concatenate([x, x], axis=0)
@@ -305,7 +320,19 @@ class PokemonGenerator:
                                      self.spec, text_mask=mask_cat,
                                      dtype=self.compute_dtype)
                     e_c, e_u = jnp.split(eps.astype(jnp.float32), 2, axis=0)
-                    return (1.0 + g) * e_c - g * e_u
+                    # guidance interval: zero the CFG term outside the band
+                    # (all samples in the scan step share one t)
+                    g_eff = jnp.where((t[0] >= t_lo) & (t[0] <= t_hi), g, 0.0)
+                    e_g = (1.0 + g_eff) * e_c - g_eff * e_u
+                    if resc > 0.0:
+                        # CFG-rescale: restore the conditional branch's
+                        # per-sample std, then blend (diffusers'
+                        # guidance_rescale formula on the eps prediction)
+                        std_c = jnp.std(e_c, axis=(1, 2, 3), keepdims=True)
+                        std_g = jnp.std(e_g, axis=(1, 2, 3), keepdims=True)
+                        e_r = e_g * (std_c / jnp.maximum(std_g, 1e-8))
+                        e_g = resc * e_r + (1.0 - resc) * e_g
+                    return e_g
 
             latents = fn(guided, self.schedule, rng, shape=shape,
                          initial_latent=initial_latent,

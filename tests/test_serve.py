@@ -579,3 +579,43 @@ def test_foreign_final_never_shadows_named_pair_even_if_stamped_better(tmp_path)
 
     _, diff_p = resolve_checkpoints(cfg, "mine", allow_hub=False)
     assert "mine_diffusion" in diff_p
+
+
+def test_cfg_rescale_and_interval(tmp_path):
+    """extra.guidance_rescale blends toward a std-restored guided eps and
+    changes the output; a guidance interval that excludes every timestep
+    makes guided sampling equal unguided (g_eff = 0 at all steps)."""
+    cfg = _tiny_cfg()
+    base = PokemonGenerator(cfg, sampler="dpmpp", guidance_scale=3.0,
+                            negative="mean")
+    a = np.asarray(base.generate_from_text("a red creature",
+                                           num_inference_steps=3, seed=5))
+
+    cfg_r = _tiny_cfg()
+    cfg_r.extra = {"guidance_rescale": 0.7}
+    resc = PokemonGenerator(cfg_r, sampler="dpmpp", guidance_scale=3.0,
+                            negative="mean")
+    assert resc.guidance_rescale == 0.7
+    b = np.asarray(resc.generate_from_text("a red creature",
+                                           num_inference_steps=3, seed=5))
+    assert np.abs(a.astype(np.float32) - b.astype(np.float32)).max() > 0
+
+    # an empty band zeroes the CFG term -> matches guidance 0 up to the
+    # numeric noise between the fused batch-2N and plain UNet programs
+    # (different XLA tilings accumulate bf16 dots in different orders),
+    # while remaining far from the actually-guided output
+    cfg_i = _tiny_cfg()
+    cfg_i.extra = {"guidance_interval_lo": 2.0, "guidance_interval_hi": 3.0}
+    banded = PokemonGenerator(cfg_i, sampler="dpmpp", guidance_scale=3.0,
+                              negative="mean")
+    g0 = PokemonGenerator(_tiny_cfg(), sampler="dpmpp", guidance_scale=0.0)
+    c = np.asarray(banded.generate_from_text("a red creature",
+                                             num_inference_steps=3, seed=5),
+                   dtype=np.float32)
+    d = np.asarray(g0.generate_from_text("a red creature",
+                                         num_inference_steps=3, seed=5),
+                   dtype=np.float32)
+    band_vs_unguided = np.abs(c - d).mean()
+    band_vs_guided = np.abs(c - a.astype(np.float32)).mean()
+    assert band_vs_unguided < band_vs_guided / 4, (
+        band_vs_unguided, band_vs_guided)
