@@ -14,6 +14,10 @@ Defaults: evidence_r3b, 8, 25, dpmpp, 0.0, docs/eval_conditioning.json.
 Any ``section.key=value`` argument is passed through as a config override
 (``device=cpu`` forces the CPU backend); ``seed=N`` changes the sampling
 seed (default 1234) so recipes can be replicated across seeds;
+``seeds=A,B,C`` replicates across several seeds while reusing one
+compiled generator (first seed writes the given out path and carries the
+stamp; the rest write ``<stem>_seed<N>.json`` — pool with
+``scripts/eval_table.py --pool``);
 ``strength=S`` sets the retrieval-loo seeding strength;
 ``prompts=paraphrase`` swaps the dataset captions for name-free
 paraphrases (``PARAPHRASES``) — retrieval@1 from these measures
@@ -81,17 +85,25 @@ def main() -> int:
     retrieval = "init=retrieval" in sys.argv[1:]
     paraphrase = "prompts=paraphrase" in sys.argv[1:]
     strength = 0.85
-    seed = 1234
+    seeds = [1234]
     for a in sys.argv[1:]:
         if a.startswith("strength="):
             strength = float(a.split("=", 1)[1])
         if a.startswith("seed="):
-            seed = int(a.split("=", 1)[1])
+            seeds = [int(a.split("=", 1)[1])]
+        if a.startswith("seeds="):
+            # comma list: replicate the eval across sampling seeds while
+            # reusing ONE built (and compiled) generator — seed
+            # replication for the price of a single compile.  The first
+            # seed writes to the given out path; each further seed writes
+            # <out stem>_seed<N>.json, and only the first is stamped.
+            seeds = [int(s) for s in a.split("=", 1)[1].split(",")]
     extra_overrides = [a for a in sys.argv[1:]
                        if "=" in a and a not in ("init=retrieval-loo",
                                                  "init=retrieval",
                                                  "prompts=paraphrase")
-                       and not a.startswith(("strength=", "seed=", "stamp="))]
+                       and not a.startswith(("strength=", "seed=", "seeds=",
+                                             "stamp="))]
     argv = [a for a in sys.argv[1:] if "=" not in a]
     force_cpu = "device=cpu" in extra_overrides
     name = argv[0] if len(argv) > 0 else "evidence_r3b"
@@ -132,82 +144,91 @@ def main() -> int:
     names = [r["english_name"] for r in ds.rows[:n]]
     real = [ds.image_float(i) for i in range(n)]
 
-    if loo:
-        # leave-one-out retrieval seeding: sprite i's generation is seeded
-        # from the nearest OTHER sprite — if the prompt dominates, the
-        # output should still match sprite i best
-        from psg_tpu.utils.images import pil_to_array
+    def run_for_seed(seed: int, out: Path, stamp: bool) -> None:
+        if loo:
+            # leave-one-out retrieval seeding: sprite i's generation is
+            # seeded from the nearest OTHER sprite — if the prompt
+            # dominates, the output should still match sprite i best
+            from psg_tpu.utils.images import pil_to_array
 
-        generated = []
-        for i, cap in enumerate(captions):
-            im = gen.generate_from_text_retrieval(
-                cap, num_inference_steps=steps, seed=seed + i,
-                restarts=restarts, exclude=i, strength=strength)
-            generated.append(pil_to_array(im, gen.cfg.data.image_size))
-    else:
-        imgs = gen.generate_batch(captions, num_inference_steps=steps,
-                                  seed=seed, restarts=restarts,
-                                  init="retrieval" if retrieval else "prior",
-                                  init_strength=strength)
-        generated = [np.asarray(im, np.float32) for im in imgs]
+            generated = []
+            for i, cap in enumerate(captions):
+                im = gen.generate_from_text_retrieval(
+                    cap, num_inference_steps=steps, seed=seed + i,
+                    restarts=restarts, exclude=i, strength=strength)
+                generated.append(pil_to_array(im, gen.cfg.data.image_size))
+        else:
+            imgs = gen.generate_batch(
+                captions, num_inference_steps=steps,
+                seed=seed, restarts=restarts,
+                init="retrieval" if retrieval else "prior",
+                init_strength=strength)
+            generated = [np.asarray(im, np.float32) for im in imgs]
 
-    report = conditioning_report(generated, real, names=names)
-    if paraphrase:
-        # relaxed count: best match lands in the caption's evolution
-        # family (Bulbasaur line / Charmander line / Squirtle line) —
-        # the scorer is palette-heavy, so within-family confusions are
-        # expected even under correct conditioning
-        from psg_tpu.eval.metrics import pairwise_conditioning_scores
+        report = conditioning_report(generated, real, names=names)
+        if paraphrase:
+            # relaxed count: best match lands in the caption's evolution
+            # family (Bulbasaur line / Charmander line / Squirtle line) —
+            # the scorer is palette-heavy, so within-family confusions are
+            # expected even under correct conditioning
+            from psg_tpu.eval.metrics import pairwise_conditioning_scores
 
-        s = pairwise_conditioning_scores(generated, real)
-        best = s.argmax(axis=1)
-        fam_of = {i: fi for fi, fam in enumerate(FAMILIES) for i in fam}
-        hits = [fam_of.get(int(best[i])) == fam_of.get(i)
-                for i in range(len(best))]
-        report["family_retrieval_at_1"] = float(np.mean(hits))
-        report["family_chance"] = float(np.mean(
-            [len(FAMILIES[fam_of[i]]) / len(best) for i in range(len(best))]))
-        report["prompts"] = "paraphrase"
-    report["checkpoint"] = name
-    report["sampler"] = f"{sampler}@{steps}" + (
-        f"+restart{restarts}" if restarts else "")
-    report["guidance"] = guidance
-    report["negative"] = negative
-    report["init"] = (f"retrieval-loo@{strength}" if loo else
-                      f"retrieval@{strength}" if retrieval else "prior")
-    if retrieval or loo:
-        report["retrieval_mode"] = gen.retrieval_mode
-    report["seed"] = seed
-    out.parent.mkdir(parents=True, exist_ok=True)
-    # the generated sprites are already in memory — save the grid next to
-    # the JSON (top rows: generations in caption order; the report's
-    # per_sprite section carries the matched/mismatched scores)
-    from psg_tpu.utils.images import save_image_grid
+            s = pairwise_conditioning_scores(generated, real)
+            best = s.argmax(axis=1)
+            fam_of = {i: fi for fi, fam in enumerate(FAMILIES) for i in fam}
+            hits = [fam_of.get(int(best[i])) == fam_of.get(i)
+                    for i in range(len(best))]
+            report["family_retrieval_at_1"] = float(np.mean(hits))
+            report["family_chance"] = float(np.mean(
+                [len(FAMILIES[fam_of[i]]) / len(best) for i in range(len(best))]))
+            report["prompts"] = "paraphrase"
+        report["checkpoint"] = name
+        report["sampler"] = f"{sampler}@{steps}" + (
+            f"+restart{restarts}" if restarts else "")
+        report["guidance"] = guidance
+        report["negative"] = negative
+        report["init"] = (f"retrieval-loo@{strength}" if loo else
+                          f"retrieval@{strength}" if retrieval else "prior")
+        if retrieval or loo:
+            report["retrieval_mode"] = gen.retrieval_mode
+        report["seed"] = seed
+        out.parent.mkdir(parents=True, exist_ok=True)
+        # the generated sprites are already in memory — save the grid next to
+        # the JSON (top rows: generations in caption order; the report's
+        # per_sprite section carries the matched/mismatched scores)
+        from psg_tpu.utils.images import save_image_grid
 
-    save_image_grid(generated, out.with_suffix(".png"), captions=captions)
-    report["grid"] = str(out.with_suffix(".png"))
-    out.write_text(json.dumps(report, indent=2))
-    if "stamp=1" in sys.argv[1:]:
-        # record the headline in the evaluated checkpoint's sidecar so
-        # serving resolution (serve/hub.py) can rank this checkpoint by
-        # MEASURED conditioning, not just val loss — in particular a
-        # stage-3 final bundle only shadows a stage-2 pair when its
-        # stamped eval is not worse
-        ck = getattr(gen, "diffusion_checkpoint", None)
-        if ck:
-            side = Path(ck).with_suffix(".json")
-            meta = json.loads(side.read_text()) if side.exists() else {}
-            meta.setdefault("eval", {})["retrieval_at_1"] = report[
-                "retrieval_at_1"]
-            meta["eval"]["recipe"] = {
-                "sampler": report["sampler"], "guidance": guidance,
-                "negative": negative, "init": report["init"],
-                "n": len(captions), "seed": seed,
-                "prompts": "paraphrase" if paraphrase else "dataset"}
-            side.write_text(json.dumps(meta, indent=2))
-            print(f"stamped eval.retrieval_at_1={report['retrieval_at_1']} "
-                  f"into {side}", file=sys.stderr)
-    print(json.dumps({k: v for k, v in report.items() if k != "per_sprite"}))
+        save_image_grid(generated, out.with_suffix(".png"), captions=captions)
+        report["grid"] = str(out.with_suffix(".png"))
+        out.write_text(json.dumps(report, indent=2))
+        if stamp:
+            # record the headline in the evaluated checkpoint's sidecar so
+            # serving resolution (serve/hub.py) can rank this checkpoint by
+            # MEASURED conditioning, not just val loss — in particular a
+            # stage-3 final bundle only shadows a stage-2 pair when its
+            # stamped eval is not worse
+            ck = getattr(gen, "diffusion_checkpoint", None)
+            if ck:
+                side = Path(ck).with_suffix(".json")
+                meta = json.loads(side.read_text()) if side.exists() else {}
+                meta.setdefault("eval", {})["retrieval_at_1"] = report[
+                    "retrieval_at_1"]
+                meta["eval"]["recipe"] = {
+                    "sampler": report["sampler"], "guidance": guidance,
+                    "negative": negative, "init": report["init"],
+                    "n": len(captions), "seed": seed,
+                    "prompts": "paraphrase" if paraphrase else "dataset"}
+                side.write_text(json.dumps(meta, indent=2))
+                print(f"stamped eval.retrieval_at_1={report['retrieval_at_1']} "
+                      f"into {side}", file=sys.stderr)
+        print(json.dumps(
+            {k: v for k, v in report.items() if k != "per_sprite"}))
+
+    stamp = "stamp=1" in sys.argv[1:]
+    for si, s in enumerate(seeds):
+        out_s = out if si == 0 else out.with_name(
+            f"{out.stem}_seed{s}{out.suffix}")
+        run_for_seed(s, out_s, stamp and si == 0)
     return 0
 
 
