@@ -1,21 +1,24 @@
 #!/bin/bash
-# Round-4 session-2, part 2: fires after scripts/chain_r4d.sh writes its
-# "all done" marker.
+# Round-4, part 2 (rewritten for the post-replacement clock): fires after
+# scripts/chain_r4d.sh writes its "all done" marker and lands the round's
+# deliverables unattended — this round's interactive sessions were cut
+# off repeatedly (two host replacements, API drops), so everything after
+# the training chain is self-executing:
 #
-#   1. stage 3 at budget on TPU through the CLI chain on the evidence_r4d
-#      base (BASELINE config 4: final_epochs=20, phase switch @10)
-#      — reference: train_3stage.py:98-188, final_trainer.py:590-642,
-#   2. post-stage-3 conditioning eval, stamped, with
-#      extra.serve_prefer_final so the fresh bundle is the one under
-#      test (hub only serves it by default if measured not-worse),
-#   3. a full serving-CLI drive on the trained checkpoints (the /verify
-#      TPU surface): one sprite through the quality recipe.
+#   1. pooled exact binomial test over the two paraphrase seed evals
+#      (VERDICT #4's p<0.05 bar) -> docs/eval_conditioning_paraphrase_r4d_pooled.txt,
+#   2. evidence collection (grids + loss curves) for evidence_r4d,
+#   3. one atomic git commit of the stage-2 evidence + eval JSONs,
+#   4. a full serving-CLI drive on the trained pair (quality recipe) and
+#      a final commit of the served sprite.
 #
+# Stage 3 at budget on this base does NOT fit the remaining wall clock;
+# the stage-3-at-budget evidence for the round lives on the r4 base
+# (experiments/evidence_r4_final, docs/eval_conditioning_stage3_r4*).
 # Log: /tmp/after_chain_r4d.log
 set -u
 cd /root/repo
 W=/tmp/after_chain_r4d.log
-EVAL="python -u scripts/eval_conditioning.py"
 
 step() {  # step <name> <timeout> <cmd...>
   local name=$1 t=$2; shift 2
@@ -28,27 +31,36 @@ echo "$(date -u +%T) waiting for chain_r4d" > "$W"
 while ! grep -q "all done" /tmp/chain_r4d.log 2>/dev/null; do sleep 60; done
 echo "$(date -u +%T) chain done, TPU free" >> "$W"
 
-step stage3_r4d 7200 python -u -m psg_tpu.train.cli --stage 3 \
-  --config config/r3_evidence.yaml --experiment-name evidence_r4d \
-  --vae-checkpoint experiments/evidence_r4d_vae/checkpoints/vae_best_model.ckpt \
-  --diffusion-checkpoint experiments/evidence_r4d_diffusion/checkpoints/diffusion_best_model.ckpt \
-  --override data.batch_size=8 \
-  --override training.final_epochs=20 \
-  --override training.phase1_epochs=10 \
-  --override training.save_every=9999 \
-  --override training.sample_every=10 \
-  --override training.best_every=5 \
-  --override training.val_every=1
+step pool 300 bash -c "python scripts/eval_table.py --pool \
+  docs/eval_conditioning_paraphrase_r4d*.json \
+  | tee docs/eval_conditioning_paraphrase_r4d_pooled.txt"
+step collect 600 python scripts/collect_evidence.py evidence_r4d
 
-step stage3_eval 3600 $EVAL evidence_r4d 16 10 dpmpp 2.0 \
-  docs/eval_conditioning_stage3_r4d.json 1 mean stamp=1 \
-  extra.serve_prefer_final=true
+git add experiments/evidence_r4d_diffusion experiments/evidence_r4d_vae \
+  docs/eval_conditioning_r4d*.json docs/eval_conditioning_paraphrase_r4d* \
+  docs/samples >> "$W" 2>&1
+git commit -q -m "evidence_r4d stage 2 at 560 epochs: run logs, grids, stamped evals
 
-step serve_drive 3600 python -m psg_tpu.serve.app \
+r3d recipe (cond_dropout 0.1 + snr_gamma 5.0 + name-preserving caption
+augmentation x4) trained from scratch on the rebuilt stage-1 VAE.
+Dataset-caption eval stamped into the checkpoint sidecar (drives
+serving/bench resolution); name-free paraphrase eval replicated at two
+sampling seeds and pooled into one exact binomial test
+(docs/eval_conditioning_paraphrase_r4d_pooled.txt)." >> "$W" 2>&1
+echo "$(date -u +%T) evidence commit rc=$?" >> "$W"
+
+step serve_drive 1800 python -m psg_tpu.serve.app \
   --prompt "A small green quadruped creature with a plant bulb on its back" \
   --steps 25 --sampler dpmpp --guidance 2.0 --seed 42 \
   --out docs/samples/served_sprite_r4d.png \
   --override data.csv_path=/root/reference/data/text_description_concat.csv \
   --override data.image_dir=/root/reference/data/small_images
+
+if [ -f docs/samples/served_sprite_r4d.png ]; then
+  git add docs/samples/served_sprite_r4d.png >> "$W" 2>&1
+  git commit -q -m "Served sprite through the CLI quality recipe on evidence_r4d" \
+    >> "$W" 2>&1
+  echo "$(date -u +%T) sprite commit rc=$?" >> "$W"
+fi
 
 echo "$(date -u +%T) all done" >> "$W"
