@@ -27,7 +27,22 @@ step() {  # step <name> <timeout> <cmd...>
   echo "$(date -u +%T) $name rc=$rc" >> "$W"
 }
 
-echo "$(date -u +%T) waiting for chain_r4d" > "$W"
+echo "$(date -u +%T) waiting for stage 2" > "$W"
+while ! grep -q "stage2_r4d rc=" /tmp/chain_r4d.log 2>/dev/null; do sleep 60; done
+# Commit the training-run evidence the moment stage 2 ends, BEFORE the
+# evals: if the round's clock runs out mid-eval, the run itself is
+# already landed atomically.
+git add experiments/evidence_r4d_diffusion >> "$W" 2>&1
+git commit -q -m "evidence_r4d stage 2 at 560 epochs: run logs and sample grids
+
+r3d recipe (cond_dropout 0.1 + snr_gamma 5.0 + name-preserving caption
+augmentation x4, caption_name_drop 0) trained from scratch on the
+rebuilt stage-1 VAE; budget trimmed from the 675-epoch r3b/r3c budget to
+fit the post-replacement wall clock. Stamped evals follow separately." \
+  >> "$W" 2>&1
+echo "$(date -u +%T) stage-2 evidence commit rc=$?" >> "$W"
+
+echo "$(date -u +%T) waiting for chain_r4d evals" >> "$W"
 while ! grep -q "all done" /tmp/chain_r4d.log 2>/dev/null; do sleep 60; done
 echo "$(date -u +%T) chain done, TPU free" >> "$W"
 
@@ -39,15 +54,14 @@ step collect 600 python scripts/collect_evidence.py evidence_r4d
 git add experiments/evidence_r4d_diffusion experiments/evidence_r4d_vae \
   docs/eval_conditioning_r4d*.json docs/eval_conditioning_paraphrase_r4d* \
   docs/samples >> "$W" 2>&1
-git commit -q -m "evidence_r4d stage 2 at 560 epochs: run logs, grids, stamped evals
+git commit -q -m "evidence_r4d conditioning evals: stamped dataset recipe + pooled paraphrases
 
-r3d recipe (cond_dropout 0.1 + snr_gamma 5.0 + name-preserving caption
-augmentation x4) trained from scratch on the rebuilt stage-1 VAE.
-Dataset-caption eval stamped into the checkpoint sidecar (drives
-serving/bench resolution); name-free paraphrase eval replicated at two
-sampling seeds and pooled into one exact binomial test
+Dataset-caption eval (dpmpp@10+restart1, g=2, neg=mean) stamped into the
+checkpoint sidecar (drives serving/bench resolution); name-free
+paraphrase eval replicated at two sampling seeds from one compiled
+generator and pooled into one exact binomial test
 (docs/eval_conditioning_paraphrase_r4d_pooled.txt)." >> "$W" 2>&1
-echo "$(date -u +%T) evidence commit rc=$?" >> "$W"
+echo "$(date -u +%T) eval evidence commit rc=$?" >> "$W"
 
 step serve_drive 1800 python -m psg_tpu.serve.app \
   --prompt "A small green quadruped creature with a plant bulb on its back" \
