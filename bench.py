@@ -110,7 +110,7 @@ def _serving_setup():
     ckpt_info = {}
     from pathlib import Path
 
-    from psg_tpu.core.checkpoint import load_params, load_sample_params
+    from psg_tpu.core.checkpoint import load_serving_params
     from psg_tpu.core.config import Config
     from psg_tpu.serve.hub import resolve_checkpoints
 
@@ -119,14 +119,12 @@ def _serving_setup():
         vae_ck, diff_ck = resolve_checkpoints(Config(), allow_hub=False)
     ckpt_info = {"vae": vae_ck, "diffusion": diff_ck}
     try:
-        if vae_ck and Path(vae_ck).exists():
-            vt = load_params(vae_ck, {"vae": params["vae"],
-                                      "text": params["text"]})
-            params["vae"], params["text"] = vt["vae"], vt["text"]
-            weights = "trained-vae"
-        if diff_ck and Path(diff_ck).exists():
-            params["unet"] = load_sample_params(diff_ck, params["unet"])
-            weights = "trained"
+        # same loader as serve/generator.py — handles the stage-3 'final'
+        # bundle (vae==diff carries {vae,text,unet}) as well as the pair
+        params, loaded = load_serving_params(vae_ck, diff_ck, params)
+        weights = {"final-bundle": "trained", "pair": "trained",
+                   "vae-only": "trained-vae", "unet-only": "trained",
+                   "none": "random"}[loaded]
     except Exception as e:  # make the random-weights fallback VISIBLE
         weights = f"random (load failed: {type(e).__name__}: {e})"
         print(f"WARNING: checkpoint load failed ({e}) — benching random "

@@ -230,6 +230,44 @@ def load_sample_params(path, params_template):
                       serialization.from_state_dict(params_template, sub))
 
 
+def load_serving_params(vae_ckpt, diff_ckpt, template):
+    """Load the serving parameter set {vae, text, unet} from a resolved
+    checkpoint pair, handling BOTH shapes hub resolution can return:
+
+    - a stage-3 'final' bundle (``vae_ckpt == diff_ckpt``): ONE checkpoint
+      carries all three subtrees (FinalTrainer's save layout) — mapping it
+      onto a bare-UNet template raises in from_state_dict, so it must be
+      restored against the full template in one call;
+    - a stage-1/stage-2 pair: the VAE checkpoint carries {vae, text}, the
+      diffusion checkpoint carries the UNet (EMA params preferred).
+
+    ``template`` is ``{"vae":…, "text":…, "unet":…}``; missing/absent
+    checkpoint paths leave the corresponding template subtree untouched.
+    Returns ``(params, loaded)`` where ``loaded`` names what was restored
+    ("final-bundle", "pair", "vae-only", "unet-only", or "none").
+    Shared by serve/generator.py:_load and bench.py:_serving_setup so the
+    two serving surfaces cannot drift (found by review: bench's old
+    pair-only logic silently benched a random UNet on final bundles).
+    """
+    vae_ok = vae_ckpt and Path(vae_ckpt).exists()
+    diff_ok = diff_ckpt and Path(diff_ckpt).exists()
+    if vae_ok and diff_ok and str(vae_ckpt) == str(diff_ckpt):
+        return load_params(vae_ckpt, dict(template)), "final-bundle"
+    out = dict(template)
+    loaded = []
+    if vae_ok:
+        vt = load_params(vae_ckpt, {"vae": template["vae"],
+                                    "text": template["text"]})
+        out["vae"], out["text"] = vt["vae"], vt["text"]
+        loaded.append("vae")
+    if diff_ok:
+        out["unet"] = load_sample_params(diff_ckpt, template["unet"])
+        loaded.append("unet")
+    tag = {(): "none", ("vae",): "vae-only", ("unet",): "unet-only",
+           ("vae", "unet"): "pair"}[tuple(loaded)]
+    return out, tag
+
+
 def _cast_like(template, tree):
     """Restored leaves take the template's dtypes ("template provides
     structure + dtypes") — light checkpoints store bf16, trainers want

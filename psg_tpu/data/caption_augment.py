@@ -34,6 +34,11 @@ from typing import List, Sequence
 
 import numpy as np
 
+# Dotted species names ("Mr. Mime", "Mime Jr.", "Mr. Rime") never reach
+# this regex intact: the source CSV itself splits them at the first
+# period ("Mr; Mime. …"), so english_name is already "Mr"/"Mime" by
+# parse time — identically in the reference's pandas read (dataset
+# noise shared with src/data/dataset_improved.py, not ours to repair).
 _NAME_RE = re.compile(r"^\s*Pokemon named [^.]*\.\s*")
 
 

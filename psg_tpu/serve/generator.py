@@ -210,6 +210,29 @@ class PokemonGenerator:
             self._generate_impl, static_argnames=("steps", "num", "sampler"))
         self._encode_image = jax.jit(self._encode_impl)
 
+    def set_guidance(self, scale=None, rescale=None,
+                     interval_lo=None, interval_hi=None) -> None:
+        """Change the CFG shaping knobs on a live generator.
+
+        The knobs are BAKED INTO the compiled chain as constants (jit
+        caches by function identity), so mutating the attributes alone
+        would silently keep sampling under the previous recipe — this is
+        the one supported way to retune guidance without rebuilding the
+        generator (scripts/recipe_sweep.py measures recipes through it).
+        ``interval_lo/hi`` are fractions of T, like the config keys.
+        """
+        if scale is not None:
+            self.guidance_scale = float(scale)
+        if rescale is not None:
+            self.guidance_rescale = float(rescale)
+        T = self.cfg.model.num_timesteps
+        if interval_lo is not None:
+            self.guidance_t_lo = float(interval_lo) * T
+        if interval_hi is not None:
+            self.guidance_t_hi = float(interval_hi) * T
+        self._generate = jax.jit(
+            self._generate_impl, static_argnames=("steps", "num", "sampler"))
+
     # -- weights -----------------------------------------------------------
 
     def _load(self, vae_ckpt, diff_ckpt):
@@ -225,22 +248,15 @@ class PokemonGenerator:
                              self.cfg.model.text_embedding_dim),
         }
         unet_tmpl = jit_init(unet_init, k_unet, self.spec)
-        from psg_tpu.core.checkpoint import load_params, load_sample_params
+        from psg_tpu.core.checkpoint import load_serving_params
 
-        if (vae_ckpt and diff_ckpt and str(vae_ckpt) == str(diff_ckpt)
-                and Path(vae_ckpt).exists()):
-            # stage-3 'final' bundle: one checkpoint carries
-            # {vae, text, unet} (FinalTrainer; serve/hub.py resolution)
-            tmpl = {"vae": vae_tmpl["vae"], "text": vae_tmpl["text"],
-                    "unet": unet_tmpl}
-            return load_params(vae_ckpt, tmpl)
-        if vae_ckpt and Path(vae_ckpt).exists():
-            vae_tmpl = load_params(vae_ckpt, vae_tmpl)
-        if diff_ckpt and Path(diff_ckpt).exists():
-            # prefer the EMA params when the stage-2 run tracked them
-            unet_tmpl = load_sample_params(diff_ckpt, unet_tmpl)
-        return {"vae": vae_tmpl["vae"], "text": vae_tmpl["text"],
-                "unet": unet_tmpl}
+        # handles both the stage-3 'final' bundle (vae==diff carries
+        # {vae,text,unet}) and the stage-1/2 pair (EMA-preferring UNet)
+        params, _ = load_serving_params(
+            vae_ckpt, diff_ckpt,
+            {"vae": vae_tmpl["vae"], "text": vae_tmpl["text"],
+             "unet": unet_tmpl})
+        return params
 
     # -- jitted chain --------------------------------------------------------
 

@@ -50,13 +50,29 @@ def _sidecar(path: Path) -> Dict:
 
 def _candidate(path: Path, named: bool = False) -> Dict:
     meta = _sidecar(path)
-    run = path.parent.parent.name  # {run}_{stage}/checkpoints/x.ckpt
+    # {run}_{stage}/checkpoints/x.ckpt -> run.  Bare layouts (the
+    # reference's 'weights/x.ckpt', '<experiment_dir>/x.ckpt') have no run
+    # directory — record '' rather than a garbage name like the repo dir,
+    # which fed bogus families into pairing/shadowing (review finding r4).
+    run = path.parent.parent.name if path.parent.name == "checkpoints" else ""
+    ev = meta.get("eval") or {}
+    recipe = ev.get("recipe") or {}
+    # Only a CANONICAL stamp ranks: dataset prompts, generated from the
+    # pure prior.  A paraphrase stamp lives on a different chance scale
+    # and a retrieval-seeded stamp measures the seeding crutch, not the
+    # checkpoint — comparing either against canonical numbers silently
+    # serves the wrong model (review finding r4).  Recipe-less stamps
+    # (pre-r4 sidecar format) are grandfathered as canonical.
+    canonical = (not recipe) or (
+        recipe.get("prompts", "dataset") == "dataset"
+        and str(recipe.get("init", "prior")) == "prior")
     return {
         "path": path,
         "run": run,
         "named": named,
         "metric": meta.get("metric"),
-        "eval": (meta.get("eval") or {}).get("retrieval_at_1"),
+        "eval": ev.get("retrieval_at_1") if canonical else None,
+        "eval_recipe": recipe if canonical and recipe else None,
         "step": meta.get("step"),
         "vae_checkpoint": meta.get("vae_checkpoint"),
         "mtime": path.stat().st_mtime if path.exists() else 0.0,
@@ -120,8 +136,9 @@ def _pair_vae(cfg, diff: Dict, vaes: List[Dict]) -> Optional[Dict]:
             return v
     if vaes:
         log.warning(
-            "no paired VAE for diffusion run %r — using best-ranked %s "
-            "(verify the latent spaces match)", diff["run"], vaes[0]["path"])
+            "no paired VAE for diffusion %s — using best-ranked %s "
+            "(verify the latent spaces match)",
+            diff["run"] or diff["path"], vaes[0]["path"])
         return vaes[0]
     return None
 
@@ -156,10 +173,23 @@ def _final_shadows(final: Dict, diff: Optional[Dict], cfg) -> bool:
                      "pair %s", final["path"],
                      "named" if diff["named"] else "unstamped", diff["path"])
             return False
-    if diff_eval is not None and final["eval"] < diff_eval:
-        log.info("stage-3 final eval %.3f < stage-2 eval %.3f — serving "
-                 "the stage-2 pair", final["eval"], diff_eval)
-        return False
+    if diff_eval is not None:
+        fr, dr = final.get("eval_recipe"), diff.get("eval_recipe")
+        if (fr and dr and (fr.get("prompts"), fr.get("n"))
+                != (dr.get("prompts"), dr.get("n"))):
+            # different prompt set or n => different chance rate; the two
+            # retrieval@1 numbers are NOT comparable — require a matching
+            # stamp rather than crown a winner on incomparable scales
+            log.info("stage-3 final %s stamped under a different eval "
+                     "recipe (%s/n=%s vs %s/n=%s) — serving the stage-2 "
+                     "pair; re-stamp both under one recipe to compare",
+                     final["path"], fr.get("prompts"), fr.get("n"),
+                     dr.get("prompts"), dr.get("n"))
+            return False
+        if final["eval"] < diff_eval:
+            log.info("stage-3 final eval %.3f < stage-2 eval %.3f — serving "
+                     "the stage-2 pair", final["eval"], diff_eval)
+            return False
     return True
 
 

@@ -626,6 +626,15 @@ class DiffusionTrainer:
     def train(self) -> Path:
         if self.cfg.training.fast_path and self.mesh is None:
             return self._train_fast()
+        if self.caption_augment > 0:
+            # only the fast-path scan body draws per-step variants; the
+            # classic loop feeds canonical captions.  Refuse rather than
+            # silently train an un-augmented run whose sidecar config
+            # CLAIMS augmentation (review finding r4).
+            raise NotImplementedError(
+                "extra.caption_augment requires the single-device fast "
+                "path (training.fast_path=true, no mesh); the classic "
+                "epoch loop would silently ignore it")
         return self._train_classic()
 
     def _train_fast(self) -> Path:

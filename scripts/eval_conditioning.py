@@ -201,6 +201,15 @@ def main() -> int:
         save_image_grid(generated, out.with_suffix(".png"), captions=captions)
         report["grid"] = str(out.with_suffix(".png"))
         out.write_text(json.dumps(report, indent=2))
+        if stamp and (paraphrase or loo or retrieval):
+            # a paraphrase stamp lives on a different chance scale and a
+            # retrieval-seeded stamp measures the crutch, not the
+            # checkpoint — hub ranking would compare it against canonical
+            # dataset stamps (serve/hub.py ignores such stamps, but don't
+            # write them in the first place)
+            print("NOT stamping: only dataset-prompt, prior-init evals "
+                  "are comparable for serving resolution", file=sys.stderr)
+            stamp = False
         if stamp:
             # record the headline in the evaluated checkpoint's sidecar so
             # serving resolution (serve/hub.py) can rank this checkpoint by

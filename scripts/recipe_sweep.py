@@ -7,11 +7,10 @@ so recipe decisions (SERVING.md, serve defaults, the stamped sidecar
 recipe) are measured, not eyeballed.
 
 The expensive state — the 1.3 GB checkpoint load, bf16 weight cast, and
-device placement — is paid ONCE: the knobs live on the generator object
-and are baked into the jitted sampler at trace time, so each recipe
-mutates them and re-wraps ``gen._generate`` with a fresh ``jax.jit`` to
-force a retrace (a plain re-call would silently reuse the old constants).
-Each recipe therefore costs one sampler compile + one n-caption batch.
+device placement — is paid ONCE: the knobs are baked into the jitted
+sampler at trace time, and ``PokemonGenerator.set_guidance`` owns the
+mutate-then-retrace invariant.  Each recipe therefore costs one sampler
+compile + one n-caption batch.
 
 Usage:
   python scripts/recipe_sweep.py [experiment] [n] [out.json] \
@@ -77,8 +76,6 @@ def main() -> int:
     out = Path(pos[2] if len(pos) > 2 else "docs/recipe_sweep.json")
     recipes = [parse_recipe(r) for r in (recipes_raw or DEFAULT_SWEEP)]
 
-    import jax
-
     from psg_tpu.data.dataset import PokemonDataset
     from psg_tpu.eval import conditioning_report
     from psg_tpu.serve.app import build_generator
@@ -94,19 +91,14 @@ def main() -> int:
     captions = ds.full_descriptions[:n]
     names = [r["english_name"] for r in ds.rows[:n]]
     real = [ds.image_float(i) for i in range(n)]
-    T = gen.cfg.model.num_timesteps
 
     rows = []
     for r in recipes:
-        # mutate the baked-in knobs, then force a fresh trace: jax.jit
-        # caches by function identity, so without the re-wrap a second
-        # call would silently reuse the previous recipe's constants
-        gen.guidance_scale = float(r["g"])
-        gen.guidance_rescale = float(r["resc"])
-        gen.guidance_t_lo = float(r["lo"]) * T
-        gen.guidance_t_hi = float(r["hi"]) * T
-        gen._generate = jax.jit(gen._generate_impl,
-                                static_argnames=("steps", "num", "sampler"))
+        # the knobs are baked into the compiled chain; set_guidance owns
+        # the mutate-then-retrace invariant (review r4: reaching into
+        # gen._generate from outside the class left the invariant here)
+        gen.set_guidance(scale=r["g"], rescale=r["resc"],
+                         interval_lo=r["lo"], interval_hi=r["hi"])
         t0 = time.time()
         imgs = gen.generate_batch(captions, num_inference_steps=r["steps"],
                                   seed=seed, restarts=r["restarts"])

@@ -25,11 +25,19 @@ EPOCHS=675
 LOG_OFFSET=$(stat -c %s "$LOG" 2>/dev/null || echo 0)
 
 find_pid() {
+  # match only real python processes (ADVICE r3: the `timeout` wrapper's
+  # cmdline contains the same pattern; comm distinguishes them); ALL
+  # arguments must appear in the cmdline — callers pass the experiment
+  # name so concurrent stage-2 runs never cross-adopt PIDs (review r4)
   for p in /proc/[0-9]*; do
     comm=$(cat "$p/comm" 2>/dev/null)
     case "$comm" in python*) ;; *) continue;; esac
     c=$(tr '\0' ' ' < "$p/cmdline" 2>/dev/null)
-    case "$c" in *"$1"*) echo "${p##*/}"; return 0;; esac
+    ok=1
+    for pat in "$@"; do
+      case "$c" in *"$pat"*) ;; *) ok=0; break;; esac
+    done
+    [ "$ok" = 1 ] && { echo "${p##*/}"; return 0; }
   done
   return 1
 }
@@ -48,7 +56,7 @@ kill_trainer() {
 }
 
 relaunch() {
-  if ep=$(find_pid "psg_tpu.train.cli --stage 2"); then
+  if ep=$(find_pid "psg_tpu.train.cli --stage 2" "--experiment-name $NAME"); then
     echo "$(date -u +%T) live trainer pid $ep exists - not relaunching" >> "$WLOG"
     echo "$ep" > "$PIDFILE"
     return 0
@@ -74,7 +82,7 @@ relaunch() {
   np=""
   for i in $(seq 40); do
     sleep 3
-    np=$(find_pid "psg_tpu.train.cli --stage 2") && break
+    np=$(find_pid "psg_tpu.train.cli --stage 2" "--experiment-name $NAME") && break
   done
   if [ -n "$np" ]; then
     echo "$np" > "$PIDFILE"

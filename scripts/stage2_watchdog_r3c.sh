@@ -39,7 +39,7 @@ relaunch() {
   # never pattern-kill)
   for i in $(seq 40); do
     sleep 3
-    np=$(find_pid "psg_tpu.train.cli --stage 2")
+    np=$(find_pid "psg_tpu.train.cli --stage 2" "--experiment-name evidence_r3c")
     [ -n "$np" ] && break
   done
   if [ -n "$np" ]; then
@@ -54,13 +54,19 @@ relaunch() {
 }
 
 find_pid() {
-  # ADVICE r3: anchor on comm == python* so the `timeout` wrapper (whose
-  # cmdline contains the same pattern) is never the match.
+  # match only real python processes (ADVICE r3: the `timeout` wrapper's
+  # cmdline contains the same pattern; comm distinguishes them); ALL
+  # arguments must appear in the cmdline — callers pass the experiment
+  # name so concurrent stage-2 runs never cross-adopt PIDs (review r4)
   for p in /proc/[0-9]*; do
     comm=$(cat "$p/comm" 2>/dev/null)
     case "$comm" in python*) ;; *) continue;; esac
     c=$(tr '\0' ' ' < "$p/cmdline" 2>/dev/null)
-    case "$c" in *"$1"*) echo "${p##*/}"; return 0;; esac
+    ok=1
+    for pat in "$@"; do
+      case "$c" in *"$pat"*) ;; *) ok=0; break;; esac
+    done
+    [ "$ok" = 1 ] && { echo "${p##*/}"; return 0; }
   done
   return 1
 }

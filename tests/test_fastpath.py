@@ -211,3 +211,19 @@ def test_device_augment_first_import_under_trace_then_retrace():
     a = jax.jit(f)(imgs, key)                     # first trace imports the module
     b = jax.jit(lambda i, k: f(i, k) * 2.0)(imgs, key)  # re-trace reuses constants
     assert jnp.isfinite(a).all() and jnp.isfinite(b).all()
+
+
+@needs_data
+def test_caption_augment_refuses_classic_path(tmp_path):
+    """extra.caption_augment is a fast-path-only lever: only the scanned
+    step body draws per-sample variants, so the classic epoch loop must
+    REFUSE (not silently train un-augmented while the sidecar config
+    claims augmentation — review finding r4)."""
+    from psg_tpu.train.stage2_diffusion import DiffusionTrainer
+
+    cfg = _tiny_cfg(tmp_path)
+    cfg.training.fast_path = False
+    cfg.extra = {"caption_augment": 4}
+    t = DiffusionTrainer(cfg, vae_checkpoint_path=None, experiment_name="fpc")
+    with pytest.raises(NotImplementedError, match="caption_augment"):
+        t.train()

@@ -368,7 +368,7 @@ def test_tfidf_index_unit():
 # ---------------------------------------------------------------------------
 
 def _fake_ckpt(root, run, stage, *, metric=None, vae_checkpoint=None,
-               eval_at_1=None, mtime=None):
+               eval_at_1=None, eval_recipe=None, mtime=None):
     import json as _json
 
     d = root / f"{run}_{stage}" / "checkpoints"
@@ -382,6 +382,8 @@ def _fake_ckpt(root, run, stage, *, metric=None, vae_checkpoint=None,
         meta["vae_checkpoint"] = str(vae_checkpoint)
     if eval_at_1 is not None:
         meta["eval"] = {"retrieval_at_1": eval_at_1}
+        if eval_recipe is not None:
+            meta["eval"]["recipe"] = eval_recipe
     p.with_suffix(".json").write_text(_json.dumps(meta))
     if mtime is not None:
         import os
@@ -619,3 +621,93 @@ def test_cfg_rescale_and_interval(tmp_path):
     band_vs_guided = np.abs(c - a.astype(np.float32)).mean()
     assert band_vs_unguided < band_vs_guided / 4, (
         band_vs_unguided, band_vs_guided)
+
+
+def test_non_canonical_stamps_do_not_rank(tmp_path):
+    """A paraphrase stamp (different chance scale) or a retrieval-seeded
+    stamp (measures the crutch) must not be compared against canonical
+    dataset stamps in ranking (review finding r4): the checkpoint with the
+    honest 0.19 dataset number must beat a 0.31 paraphrase number and a
+    0.5 retrieval-seeded number."""
+    from psg_tpu.serve.hub import list_candidates
+
+    cfg = Config()
+    cfg.experiment_dir = str(tmp_path)
+    _fake_ckpt(tmp_path, "honest", "diffusion", metric=0.50, eval_at_1=0.19,
+               eval_recipe={"prompts": "dataset", "init": "prior", "n": 16})
+    _fake_ckpt(tmp_path, "para", "diffusion", metric=0.44, eval_at_1=0.31,
+               eval_recipe={"prompts": "paraphrase", "init": "prior", "n": 16})
+    _fake_ckpt(tmp_path, "crutch", "diffusion", metric=0.44, eval_at_1=0.5,
+               eval_recipe={"prompts": "dataset", "init": "retrieval@0.6",
+                            "n": 16})
+
+    cands = list_candidates(cfg, "diffusion")
+    assert cands[0]["run"] == "honest_diffusion"
+    # the non-canonical stamps were ignored, not mis-ranked: those two
+    # fall back to val-loss ordering
+    assert {c["run"] for c in cands[1:]} == {"para_diffusion",
+                                             "crutch_diffusion"}
+    assert all(c["eval"] is None for c in cands[1:])
+
+
+def test_final_with_incomparable_stamp_does_not_shadow(tmp_path):
+    """A final bundle stamped under a different prompt set or n than the
+    stage-2 pair has a different chance rate — the two retrieval@1 values
+    must not be compared; the pair keeps serving until both sides carry
+    one recipe (review finding r4)."""
+    from psg_tpu.serve.hub import resolve_checkpoints
+
+    cfg = Config()
+    cfg.experiment_dir = str(tmp_path)
+    vae = _fake_ckpt(tmp_path, "run", "vae", metric=0.05)
+    _fake_ckpt(tmp_path, "run", "diffusion", metric=0.448, vae_checkpoint=vae,
+               eval_at_1=0.19,
+               eval_recipe={"prompts": "dataset", "init": "prior", "n": 16})
+    # same family, higher number — but stamped at n=8 (chance 2x higher)
+    _fake_ckpt(tmp_path, "run", "final", metric=0.44, eval_at_1=0.25,
+               eval_recipe={"prompts": "dataset", "init": "prior", "n": 8})
+
+    vae_p, diff_p = resolve_checkpoints(cfg, "run", allow_hub=False)
+    assert "run_diffusion" in diff_p
+
+    # re-stamped under the SAME recipe and not worse -> shadows again
+    _fake_ckpt(tmp_path, "run", "final", metric=0.44, eval_at_1=0.25,
+               eval_recipe={"prompts": "dataset", "init": "prior", "n": 16})
+    vae_p, diff_p = resolve_checkpoints(cfg, "run", allow_hub=False)
+    assert "run_final" in diff_p
+
+
+def test_bare_checkpoint_layout_has_empty_run(tmp_path):
+    """The reference's bare layouts (weights/x.ckpt, <exp>/x.ckpt) have no
+    run directory: the candidate must carry run='' — not a garbage name
+    derived from the parent-of-parent (review finding r4) — so pairing
+    and family logic never match it against real runs."""
+    from psg_tpu.serve.hub import list_candidates
+
+    cfg = Config()
+    cfg.experiment_dir = str(tmp_path)
+    (tmp_path / "diffusion_best_model.ckpt").write_bytes(b"x")
+    cands = list_candidates(cfg, "diffusion")
+    assert len(cands) == 1 and cands[0]["run"] == ""
+
+
+@needs_data
+def test_set_guidance_retraces(gen):
+    """set_guidance owns the mutate-then-retrace invariant: the knobs are
+    baked into the compiled chain, so changing them MUST change the output
+    (a stale cache would silently sample the old recipe — review r4), and
+    restoring them must reproduce the original bits."""
+    a = gen.generate_batch(["a green creature"], num_inference_steps=3,
+                           seed=11)
+    try:
+        gen.set_guidance(scale=4.0, rescale=0.5, interval_lo=0.0,
+                         interval_hi=1.0)
+        b = gen.generate_batch(["a green creature"], num_inference_steps=3,
+                               seed=11)
+        assert not np.array_equal(a, b)
+    finally:
+        gen.set_guidance(scale=0.0, rescale=0.0, interval_lo=0.0,
+                         interval_hi=1.0)
+    c = gen.generate_batch(["a green creature"], num_inference_steps=3,
+                           seed=11)
+    np.testing.assert_array_equal(a, c)

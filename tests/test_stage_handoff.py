@@ -85,3 +85,49 @@ def test_stage1_to_stage2_to_serve_handoff(tmp_path):
         np.asarray(gen.params["vae"]["encoder"]["mu"]["w"]), trained_mu)
     # (generation itself is covered by test_serve.py — skipping the extra
     # chain compile keeps this test's runtime sane)
+
+
+def test_load_serving_params_pair_bundle_and_absent(tmp_path):
+    """core.checkpoint.load_serving_params handles every shape hub
+    resolution can return.  Regression for a review finding: bench's old
+    pair-only loader raised on a stage-3 'final' bundle (vae_ck ==
+    diff_ck carrying {vae,text,unet}) and silently benched a random UNet
+    under the 'best trained checkpoint pair' banner."""
+    from psg_tpu.core.checkpoint import load_serving_params, save_state
+
+    tmpl = {"vae": {"w": np.zeros((2, 2), np.float32)},
+            "text": {"w": np.zeros(3, np.float32)},
+            "unet": {"k": np.zeros(4, np.float32)}}
+
+    vae_ck = tmp_path / "vae_best_model.ckpt"
+    save_state(vae_ck, {"params": {"vae": {"w": np.full((2, 2), 1.0)},
+                                   "text": {"w": np.full(3, 2.0)}}})
+    diff_ck = tmp_path / "diffusion_best_model.ckpt"
+    save_state(diff_ck, {"params": {"k": np.full(4, 3.0)},
+                         "ema": {"k": np.full(4, 4.0)}})
+
+    # stage-1/2 pair: vae+text from stage 1, EMA-preferred unet from stage 2
+    p, tag = load_serving_params(vae_ck, diff_ck, tmpl)
+    assert tag == "pair"
+    np.testing.assert_array_equal(np.asarray(p["vae"]["w"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(p["text"]["w"]), 2.0)
+    np.testing.assert_array_equal(np.asarray(p["unet"]["k"]), 4.0)  # EMA
+
+    # stage-3 final bundle: one checkpoint carries all three subtrees
+    fin = tmp_path / "final_best_model.ckpt"
+    save_state(fin, {"params": {"vae": {"w": np.full((2, 2), 5.0)},
+                                "text": {"w": np.full(3, 6.0)},
+                                "unet": {"k": np.full(4, 7.0)}}})
+    p, tag = load_serving_params(fin, fin, tmpl)
+    assert tag == "final-bundle"
+    np.testing.assert_array_equal(np.asarray(p["vae"]["w"]), 5.0)
+    np.testing.assert_array_equal(np.asarray(p["unet"]["k"]), 7.0)
+
+    # absent paths leave the template untouched, reported honestly
+    p, tag = load_serving_params(None, None, tmpl)
+    assert tag == "none"
+    np.testing.assert_array_equal(np.asarray(p["unet"]["k"]), 0.0)
+    p, tag = load_serving_params(vae_ck, tmp_path / "missing.ckpt", tmpl)
+    assert tag == "vae-only"
+    np.testing.assert_array_equal(np.asarray(p["vae"]["w"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(p["unet"]["k"]), 0.0)
