@@ -49,10 +49,18 @@ while [ $attempt -lt 4 ]; do
     --override extra.caption_name_drop=0.0 \
     --override extra.sample_guidance=2.0 >> "$W" 2>&1 &
   PID=$!
+  START=$(date +%s)
   while kill -0 "$PID" 2>/dev/null; do
     sleep 60
-    age=$(( $(date +%s) - $(stat -c %Y "$LOG" 2>/dev/null || echo 0) ))
-    if [ "$age" -gt 360 ]; then
+    # staleness is measured against the NEWER of (last log write, this
+    # attempt's launch): the log's mtime predates the attempt, so a raw
+    # mtime age would kill every attempt during its restore+compile
+    # window (measured: the first version of this script did exactly
+    # that, twice).  600s covers a cold compile; warm epochs are 8.7s.
+    M=$(stat -c %Y "$LOG" 2>/dev/null || echo 0)
+    REF=$(( M > START ? M : START ))
+    age=$(( $(date +%s) - REF ))
+    if [ "$age" -gt 600 ]; then
       echo "$(date -u +%T) log stale ${age}s - killing pid $PID" >> "$W"
       kill "$PID" 2>/dev/null; sleep 5
       kill -0 "$PID" 2>/dev/null && kill -9 "$PID" 2>/dev/null
