@@ -25,6 +25,13 @@ if str(REPO_ROOT) not in sys.path:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+try:
+    # JAX >= 0.6 route to the 8 virtual devices; the legacy XLA flag above
+    # still works when combined with the platform pin, but this survives
+    # hosts whose sitecustomize re-pins jax_platforms at interpreter start.
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass
 
 # Persistent XLA compilation cache (VERDICT r2 #7): the suite's wall time
 # on this 1-CPU host is dominated by serialized XLA compiles of the
