@@ -414,8 +414,24 @@ def main() -> int:
     # the number a user of this framework actually experiences (VERDICT r3
     # #7): full quality recipe on the best trained checkpoint pair.  Kept
     # non-fatal — a box with no checkpoints still reports the raw sweep.
+    # Round 5 additions (VERDICT r4 #1/#7): the BASELINE north-star row —
+    # text encode -> FULL 1000-step DDPM chain -> VAE decode wall time —
+    # and the batch-64 serving-scale quality row (BASELINE config 5), so
+    # both land in BENCH_r*.json every round instead of only via
+    # `bench.py serve`.
+    end_to_end = {}
+    serve_scale = {}
     try:
-        quality = quality_recipe_row(_serving_setup())
+        setup = _serving_setup()
+        quality = quality_recipe_row(setup)
+        for b in (1, 8):
+            dt = _time_chain(setup, "fast", b, stride=1)
+            end_to_end[b] = {
+                "seconds_per_batch": round(dt, 3),
+                "seconds_per_sprite": round(dt / b, 3),
+                "vs_5s_target": round(5.0 / (dt / b), 2),
+            }
+        serve_scale = quality_recipe_row(setup, batch=64)
     except Exception as e:  # noqa: BLE001
         quality = {"error": f"{type(e).__name__}: {e}"}
 
@@ -430,6 +446,8 @@ def main() -> int:
             "chain_steps": n_steps,
             "by_batch": rows,
             "serving_quality_recipe": quality,
+            "end_to_end_1000step": end_to_end,
+            "serving_scale_batch64": serve_scale,
             "backend": jax.default_backend(),
             "device": device,
         },

@@ -252,7 +252,8 @@ def load_serving_params(vae_ckpt, diff_ckpt, template):
     vae_ok = vae_ckpt and Path(vae_ckpt).exists()
     diff_ok = diff_ckpt and Path(diff_ckpt).exists()
     if vae_ok and diff_ok and str(vae_ckpt) == str(diff_ckpt):
-        return load_params(vae_ckpt, dict(template)), "final-bundle"
+        out, tag = load_params(vae_ckpt, dict(template)), "final-bundle"
+        return jax.device_put(out), tag
     out = dict(template)
     loaded = []
     if vae_ok:
@@ -265,7 +266,14 @@ def load_serving_params(vae_ckpt, diff_ckpt, template):
         loaded.append("unet")
     tag = {(): "none", ("vae",): "vae-only", ("unet",): "unet-only",
            ("vae", "unet"): "pair"}[tuple(loaded)]
-    return out, tag
+    # Commit the loaded tree to device NOW: msgpack restore yields host
+    # numpy arrays, and a numpy param tree passed to a jitted chain is
+    # re-uploaded on EVERY call (~1.9 GB through the TPU tunnel per
+    # generate — the ~100x serving slowdown VERDICT r4 weak #1 measured).
+    # One device_put here makes both serving surfaces (serve/generator.py
+    # and bench.py) device-resident for free; mesh callers re-place with
+    # explicit shardings afterwards, which is a cheap device-to-device op.
+    return jax.device_put(out), tag
 
 
 def _cast_like(template, tree):

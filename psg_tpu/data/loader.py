@@ -34,7 +34,8 @@ class Loader:
     def __init__(self, ds: PokemonDataset, indices: np.ndarray,
                  batch_size: int, *, train: bool, seed: int = 42,
                  augment: bool = True, num_workers: int = 4,
-                 prefetch: int = 2):
+                 prefetch: int = 2, process_index: int = 0,
+                 process_count: int = 1):
         self.ds = ds
         self.indices = np.asarray(indices)
         self.batch_size = batch_size
@@ -44,6 +45,19 @@ class Loader:
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
         self._epoch = 0
+        # Multi-host (parallel/multihost.py): ``batch_size`` is the GLOBAL
+        # batch; every process runs the same seeded shuffle plan and
+        # yields only its contiguous row slice of each global batch —
+        # parallel.shard_batch reassembles the global array from those
+        # slices.  Augmentation RNG streams are derived per (global batch,
+        # process), so draws are deterministic and uncorrelated across
+        # processes.
+        if batch_size % max(1, process_count):
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"process_count={process_count}")
+        self.process_index = int(process_index)
+        self.process_count = max(1, int(process_count))
 
     def __len__(self) -> int:
         n = len(self.indices)
@@ -118,6 +132,21 @@ class Loader:
         plan = list(self._epoch_index_batches())
         self._epoch += 1
 
+        if self.process_count > 1:
+            # identical global plan on every process (same seed/epoch);
+            # keep this process's contiguous row slice of each batch and
+            # give it a process-distinct child RNG stream
+            local = self.batch_size // self.process_count
+            lo = self.process_index * local
+            plan = [(idxs[lo:lo + local], valid) for idxs, valid in plan]
+            child_rngs = [
+                c.spawn(self.process_count)[self.process_index]
+                for c in rng.spawn(len(plan))
+            ] if rng is not None else [None] * len(plan)
+            for (idxs, valid), crng in zip(plan, child_rngs):
+                yield self._make_batch(idxs, valid, crng)
+            return
+
         if self.num_workers <= 1 or len(plan) <= 1:
             for idxs, valid in plan:
                 yield self._make_batch(idxs, valid, rng)
@@ -151,9 +180,23 @@ class Loader:
         t.join()
 
 
-def make_loaders(cfg, tokenizer=None, ds: Optional[PokemonDataset] = None):
-    """Config -> (train, val, test) Loaders + the underlying dataset."""
+def make_loaders(cfg, tokenizer=None, ds: Optional[PokemonDataset] = None,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
+    """Config -> (train, val, test) Loaders + the underlying dataset.
+
+    Multi-host: process_index/process_count default to the live JAX
+    distributed layout (1 process unless parallel.multihost
+    initialize_distributed ran), making every loader yield this process's
+    slice of each global batch.
+    """
     d = cfg.data
+    if process_count is None:
+        import jax
+
+        process_index, process_count = jax.process_index(), jax.process_count()
+    proc = {"process_index": int(process_index or 0),
+            "process_count": int(process_count)}
     if ds is None:
         ds = PokemonDataset(
             d.csv_path, d.image_dir, image_size=d.image_size,
@@ -165,7 +208,9 @@ def make_loaders(cfg, tokenizer=None, ds: Optional[PokemonDataset] = None):
     tr, va, te = split_indices(len(ds), d.val_split, d.test_split, seed=d.seed)
     train = Loader(ds, tr, d.batch_size, train=True, seed=d.seed,
                    augment=d.augment, num_workers=d.num_workers,
-                   prefetch=d.prefetch)
-    val = Loader(ds, va, d.batch_size, train=False, num_workers=d.num_workers)
-    test = Loader(ds, te, d.batch_size, train=False, num_workers=d.num_workers)
+                   prefetch=d.prefetch, **proc)
+    val = Loader(ds, va, d.batch_size, train=False, num_workers=d.num_workers,
+                 **proc)
+    test = Loader(ds, te, d.batch_size, train=False,
+                  num_workers=d.num_workers, **proc)
     return train, val, test, ds

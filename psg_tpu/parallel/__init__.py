@@ -4,6 +4,10 @@ from psg_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from psg_tpu.parallel.multihost import (
+    initialize_distributed,
+    make_multihost_mesh,
+)
 from psg_tpu.parallel.sharding import (
     param_shardings,
     shard_state,
@@ -15,6 +19,8 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "shard_batch",
+    "initialize_distributed",
+    "make_multihost_mesh",
     "param_shardings",
     "shard_state",
     "unet_tp_rules",

@@ -46,13 +46,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch, mesh: Mesh):
     """Place a pytree of host arrays on the mesh, batch-sharded over 'data'.
 
-    Scalars / 0-d entries are replicated.
+    Scalars / 0-d entries are replicated.  Multi-process (after
+    ``parallel.multihost.initialize_distributed``): each process passes its
+    PROCESS-LOCAL slice of the batch (``Loader(process_index=…)``) and the
+    global array is assembled from the local shards — ``jax.device_put``
+    of full arrays is a single-controller-only pattern.
     """
+    multiproc = jax.process_count() > 1
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim == 0:
-            return jax.device_put(x, replicated(mesh))
-        return jax.device_put(x, batch_sharding(mesh, x.ndim))
+        sharding = (replicated(mesh) if x.ndim == 0
+                    else batch_sharding(mesh, x.ndim))
+        if multiproc:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)

@@ -11,14 +11,17 @@
 #      before the DEADLINE; best_every=10 so a usable best_model.ckpt
 #      lands early and is refreshed often,
 #   3. kill stage 2 at the deadline so the end-of-round bench gets the
-#      TPU to itself, then stamp a quick dataset-caption eval if >6 min
-#      remain.
+#      TPU to itself.
 #
 # Log: /tmp/chain_r4e.log
 set -u
 cd /root/repo
 W=/tmp/chain_r4e.log
 VAE=experiments/evidence_r4d_vae/checkpoints/vae_best_model.ckpt
+# set -u does not catch EMPTY files: an empty $(cat) would make DEADLINE
+# evaluate relative to epoch 0 and silently skip stage 2 (ADVICE r4)
+[ -s /tmp/round_t0 ] || { echo "FATAL: no /tmp/round_t0"; exit 1; }
+[ -s /tmp/stage1_r4e.pid ] || { echo "FATAL: no /tmp/stage1_r4e.pid"; exit 1; }
 DEADLINE=$(( $(cat /tmp/round_t0) + 2820 ))   # T0 + 47 min: TPU freed here
 
 left() { echo $(( DEADLINE - $(date -u +%s) )); }
