@@ -133,12 +133,14 @@ def _serving_setup():
     from psg_tpu.diffusion import dpmpp_2m_sample
     # sample under the TRAINING schedule when the trained checkpoint loads
     # (its sidecar records it; serving's --schedule auto does the same)
-    kind = "linear"
+    kind, ptype = "linear", "eps"
     if weights == "trained":
         import json as _json
         try:
-            kind = _json.loads(Path(diff_ck).with_suffix(".json").read_text())[
-                "config"]["model"]["beta_schedule"]
+            _meta = _json.loads(
+                Path(diff_ck).with_suffix(".json").read_text())["config"]
+            kind = _meta["model"]["beta_schedule"]
+            ptype = str(_meta.get("extra", {}).get("prediction_type", "eps"))
         except Exception:
             pass
     schedule = make_schedule(1000, 1e-4, 0.02, kind)
@@ -148,8 +150,11 @@ def _serving_setup():
                                  dtype=jnp.bfloat16)
 
         def denoise(x, t):
-            return unet_apply(p["unet"], x.astype(emb.dtype), t, emb, spec,
-                              text_mask=mask, dtype=jnp.bfloat16)
+            out = unet_apply(p["unet"], x.astype(emb.dtype), t, emb, spec,
+                             text_mask=mask, dtype=jnp.bfloat16)
+            if ptype == "v":  # v-trained checkpoints (sidecar-recorded)
+                out = schedule.eps_from_v(out, x, t)
+            return out
 
         b = ids.shape[0]
         if sampler == "dpmpp_cfg":
@@ -160,10 +165,13 @@ def _serving_setup():
             mask_cat = jnp.concatenate([mask, mask], axis=0)
 
             def guided(x, t):
-                eps = unet_apply(p["unet"],
-                                 jnp.concatenate([x, x]).astype(emb.dtype),
-                                 jnp.concatenate([t, t]), emb_cat, spec,
+                xx = jnp.concatenate([x, x])
+                tt = jnp.concatenate([t, t])
+                eps = unet_apply(p["unet"], xx.astype(emb.dtype), tt,
+                                 emb_cat, spec,
                                  text_mask=mask_cat, dtype=jnp.bfloat16)
+                if ptype == "v":
+                    eps = schedule.eps_from_v(eps, xx, tt)
                 e_c, e_u = jnp.split(eps.astype(jnp.float32), 2, axis=0)
                 return (1.0 + g) * e_c - g * e_u
 

@@ -72,6 +72,17 @@ class Loader:
 
     def _make_batch(self, idxs: np.ndarray, valid: int,
                     rng: Optional[np.random.Generator]) -> Dict[str, np.ndarray]:
+        # caption variants (ds.set_caption_variants) are drawn HERE, per
+        # sample, seeded — before the image-augment draws so the choice is
+        # identical whichever image path (native/python/none) runs.  This
+        # is what lets the classic/mesh trainer path use caption
+        # augmentation at all: the device fast path draws on device, the
+        # classic path gets its variant rows straight from the loader
+        # (VERDICT r4 #6).
+        cap_v = None
+        if (self.train and rng is not None
+                and getattr(self.ds, "text_ids_aug", None) is not None):
+            cap_v = rng.integers(0, self.ds.text_ids_aug.shape[1], len(idxs))
         imgs = self.ds.images[idxs]
         if self.augment and rng is not None:
             from psg_tpu.data import native
@@ -83,14 +94,15 @@ class Loader:
                 images = native.augment_batch(
                     imgs, seed, self.ds.background, augment=True,
                     num_threads=self.num_workers)
-                return self._finish_batch(images, idxs, valid)
+                return self._finish_batch(images, idxs, valid, cap_v)
             imgs = np.stack([
                 augment_sprite(im, rng, self.ds.background) for im in imgs
             ])
         images = imgs.astype(np.float32) / 127.5 - 1.0
-        return self._finish_batch(images, idxs, valid)
+        return self._finish_batch(images, idxs, valid, cap_v)
 
-    def _finish_batch(self, images, idxs, valid) -> Dict[str, np.ndarray]:
+    def _finish_batch(self, images, idxs, valid,
+                      cap_v=None) -> Dict[str, np.ndarray]:
         batch = {
             "image": images,
             "national_number": np.asarray(
@@ -98,8 +110,12 @@ class Loader:
             "valid": np.int32(valid),
         }
         if self.ds.text_ids is not None:
-            batch["text_ids"] = self.ds.text_ids[idxs]
-            batch["text_mask"] = self.ds.text_mask[idxs]
+            if cap_v is not None:  # per-sample caption variant rows
+                batch["text_ids"] = self.ds.text_ids_aug[idxs, cap_v]
+                batch["text_mask"] = self.ds.text_mask_aug[idxs, cap_v]
+            else:
+                batch["text_ids"] = self.ds.text_ids[idxs]
+                batch["text_mask"] = self.ds.text_mask[idxs]
             batch["desc_ids"] = self.ds.desc_ids[idxs]
             batch["desc_mask"] = self.ds.desc_mask[idxs]
         if getattr(self.ds, "clip_ids", None) is not None:
@@ -125,9 +141,13 @@ class Loader:
                 yield chunk, valid
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        # caption variants draw from the same seeded stream even when
+        # image augmentation is off
+        needs_rng = self.augment or (
+            self.train and getattr(self.ds, "text_ids_aug", None) is not None)
         rng = (
             np.random.default_rng(self.seed * 1000 + self._epoch)
-            if self.augment else None
+            if needs_rng else None
         )
         plan = list(self._epoch_index_batches())
         self._epoch += 1

@@ -45,6 +45,26 @@ class DiffusionSchedule(NamedTuple):
         so = self.sqrt_one_minus_alphas_cumprod[timesteps].reshape(shape)
         return sa * x0.astype(jnp.float32) + so * noise.astype(jnp.float32)
 
+    def velocity(self, x0, noise, timesteps):
+        """v-prediction target (Salimans & Ho 2022, progressive
+        distillation): v_t = sqrt(acp_t) eps - sqrt(1-acp_t) x0.  Training
+        on v balances the implicit SNR weighting of the eps loss — the
+        lever VERDICT r4 #3 names for the low-SNR structure-forming steps.
+        """
+        shape = (-1,) + (1,) * (x0.ndim - 1)
+        sa = self.sqrt_alphas_cumprod[timesteps].reshape(shape)
+        so = self.sqrt_one_minus_alphas_cumprod[timesteps].reshape(shape)
+        return sa * noise.astype(jnp.float32) - so * x0.astype(jnp.float32)
+
+    def eps_from_v(self, v, x_t, timesteps):
+        """Convert a v-model output into the eps every sampler consumes:
+        with x_t = a x0 + s eps and v = a eps - s x0 (a = sqrt(acp),
+        s = sqrt(1-acp)), a*v + s*x_t = (a^2 + s^2) eps = eps exactly."""
+        shape = (-1,) + (1,) * (v.ndim - 1)
+        sa = self.sqrt_alphas_cumprod[timesteps].reshape(shape)
+        so = self.sqrt_one_minus_alphas_cumprod[timesteps].reshape(shape)
+        return sa * v.astype(jnp.float32) + so * x_t.astype(jnp.float32)
+
 
 def _linear_betas(timesteps: int, beta_start: float, beta_end: float):
     return jnp.linspace(beta_start, beta_end, timesteps, dtype=jnp.float32)

@@ -34,6 +34,19 @@ def _schedule_from_checkpoint(diff_ckpt) -> str:
         return "linear"
 
 
+def _prediction_type_from_checkpoint(diff_ckpt) -> str:
+    """Like the schedule, the prediction parameterization ('eps' vs 'v')
+    is a TRAINING property recorded in the sidecar config — sampling a
+    v-trained UNet as eps yields pure noise."""
+    import json
+
+    try:
+        meta = json.loads(Path(diff_ckpt).with_suffix(".json").read_text())
+        return str(meta["config"]["extra"].get("prediction_type", "eps"))
+    except Exception:
+        return "eps"
+
+
 def build_generator(config_path=None, experiment_name: str = "pokemon",
                     overrides=None, schedule: str = "auto",
                     sampler: str = "ddim",
@@ -46,10 +59,12 @@ def build_generator(config_path=None, experiment_name: str = "pokemon",
     vae, diff = resolve_checkpoints(cfg, experiment_name)
     if schedule == "auto":
         schedule = _schedule_from_checkpoint(diff) if diff else "linear"
+    ptype = _prediction_type_from_checkpoint(diff) if diff else "eps"
     return PokemonGenerator(cfg, vae_checkpoint=vae, diffusion_checkpoint=diff,
                             schedule_kind=schedule, sampler=sampler,
                             guidance_scale=guidance, negative=negative,
-                            retrieval_mode=retrieval_mode)
+                            retrieval_mode=retrieval_mode,
+                            prediction_type=ptype)
 
 
 def create_gradio_interface(generator: PokemonGenerator):

@@ -120,9 +120,18 @@ class PokemonGenerator:
     def __init__(self, cfg: Config, vae_checkpoint=None, diffusion_checkpoint=None,
                  tokenizer=None, mesh=None, schedule_kind: str = "linear",
                  sampler: str = "ddim", guidance_scale: float = 0.0,
-                 negative: str = "zero", retrieval_mode: str = "hybrid"):
+                 negative: str = "zero", retrieval_mode: str = "hybrid",
+                 prediction_type: str = "eps"):
         self.cfg = cfg
         self.retrieval_mode = retrieval_mode
+        # 'eps' (reference semantics) or 'v': a v-trained UNet's outputs
+        # are converted to eps (schedule.eps_from_v) before every sampler,
+        # keyed off the checkpoint sidecar in build_generator — sampling a
+        # v model as eps produces pure noise, so this must follow the
+        # training config, never a user default.
+        if prediction_type not in ("eps", "v"):
+            raise ValueError(f"unknown prediction_type {prediction_type!r}")
+        self.prediction_type = prediction_type
         # kept for introspection/stamping (scripts/eval_conditioning.py)
         self.vae_checkpoint = str(vae_checkpoint) if vae_checkpoint else None
         self.diffusion_checkpoint = (str(diffusion_checkpoint)
@@ -296,9 +305,12 @@ class PokemonGenerator:
                                       self.bert_cfg, dtype=self.compute_dtype)
 
         def denoise(x, t):
-            return unet_apply(params["unet"], x.astype(text_emb.dtype), t,
-                              text_emb, self.spec, text_mask=text_mask,
-                              dtype=self.compute_dtype)
+            out = unet_apply(params["unet"], x.astype(text_emb.dtype), t,
+                             text_emb, self.spec, text_mask=text_mask,
+                             dtype=self.compute_dtype)
+            if self.prediction_type == "v":
+                out = self.schedule.eps_from_v(out, x, t)
+            return out
 
         shape = (num, self.latent_size, self.latent_size,
                  self.cfg.model.latent_dim)
@@ -335,6 +347,10 @@ class PokemonGenerator:
                                      xx.astype(text_emb.dtype), tt, emb_cat,
                                      self.spec, text_mask=mask_cat,
                                      dtype=self.compute_dtype)
+                    if self.prediction_type == "v":
+                        # linear in the model output, so converting the
+                        # fused batch-2N before the split is exact
+                        eps = self.schedule.eps_from_v(eps, xx, tt)
                     e_c, e_u = jnp.split(eps.astype(jnp.float32), 2, axis=0)
                     # guidance interval: zero the CFG term outside the band
                     # (all samples in the scan step share one t)

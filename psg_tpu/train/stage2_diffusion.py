@@ -193,6 +193,17 @@ class DiffusionTrainer:
         self.best_val = float("inf")
         extra = cfg.extra or {}
         self.loss_kind = extra.get("diffusion_loss", "smooth_l1")
+        # extra.prediction_type: 'eps' (reference semantics, default) or
+        # 'v' (Salimans & Ho 2022) — v-training re-balances the implicit
+        # SNR weighting so the low-SNR steps where global structure forms
+        # carry real gradient (VERDICT r4 #3's anatomy lever).  Samplers
+        # always consume eps; v outputs are converted via
+        # schedule.eps_from_v at every sampling site, keyed off the
+        # sidecar config in serving/eval.
+        self.pred_type = str(extra.get("prediction_type", "eps"))
+        if self.pred_type not in ("eps", "v"):
+            raise ValueError(f"unknown extra.prediction_type "
+                             f"{self.pred_type!r} (want 'eps' or 'v')")
         # extra.snr_gamma: min-SNR-gamma loss weighting (Hang et al. 2023),
         # w_t = min(SNR_t, gamma)/SNR_t for eps-prediction.  The eps loss
         # implicitly scales the x0 error by SNR_t, drowning the low-SNR
@@ -205,7 +216,9 @@ class DiffusionTrainer:
         self.cond_dropout = float(extra.get("cond_dropout", 0.0) or 0.0)
         # extra.caption_augment: K tokenized text-level caption variants
         # per sample (data/caption_augment.py — name drop, sentence
-        # shuffle/dropout), drawn uniformly per sample per step on device.
+        # shuffle/dropout), drawn uniformly per sample per step — on
+        # device in the fast path, in the host loader on the classic/mesh
+        # path (data/loader.py::_make_batch).
         # Offline substitute for what pretrained BERT buys the reference
         # (src/models/text_encoder.py:30-40): wording generalization.
         # 0/None disables (text embeddings then precomputed once).
@@ -277,14 +290,22 @@ class DiffusionTrainer:
         pred = unet_apply(unet_params, noisy.astype(latent.dtype), t, text_emb,
                           self.spec, text_mask=text_mask,
                           dtype=self.compute_dtype, dropout_key=dropout_key)
+        target = (noise if self.pred_type == "eps"
+                  else self.schedule.velocity(latent, noise, t))
         if train and self.snr_gamma > 0.0:
             acp = self.schedule.alphas_cumprod[t]
             snr = acp / jnp.maximum(1.0 - acp, 1e-8)
-            w = jnp.minimum(snr, self.snr_gamma) / jnp.maximum(snr, 1e-8)
+            if self.pred_type == "v":
+                # min-SNR for v-loss: the v objective already carries an
+                # (SNR+1) factor relative to the x0 error, so the Hang et
+                # al. weight becomes min(SNR, gamma)/(SNR + 1)
+                w = jnp.minimum(snr, self.snr_gamma) / (snr + 1.0)
+            else:
+                w = jnp.minimum(snr, self.snr_gamma) / jnp.maximum(snr, 1e-8)
             sample_weights = w if sample_weights is None else w * sample_weights
         if self.loss_kind == "mse":
-            return mse_loss(pred, noise, sample_weights=sample_weights)
-        return smooth_l1_loss(pred, noise, beta=0.1,
+            return mse_loss(pred, target, sample_weights=sample_weights)
+        return smooth_l1_loss(pred, target, beta=0.1,
                               sample_weights=sample_weights)
 
     def _noise_loss(self, unet_params, frozen, batch, rng, dropout_key=None,
@@ -446,9 +467,12 @@ class DiffusionTrainer:
         mask_bias = text_bias_from_mask(text_mask)
 
         def denoise(x, t):
-            return unet_apply(unet_params, x.astype(text_emb.dtype), t, text_emb,
-                              self.spec, text_mask=text_mask,
-                              dtype=self.compute_dtype)
+            out = unet_apply(unet_params, x.astype(text_emb.dtype), t, text_emb,
+                             self.spec, text_mask=text_mask,
+                             dtype=self.compute_dtype)
+            if self.pred_type == "v":
+                out = self.schedule.eps_from_v(out, x, t)
+            return out
 
         shape = (num, self.latent_size, self.latent_size, self.cfg.model.latent_dim)
         if sampler == "fast":
@@ -465,9 +489,12 @@ class DiffusionTrainer:
                 zero_emb = jnp.zeros_like(text_emb)
 
                 def uncond(x, t):  # noqa: F811 — cond-dropout's zero embedding
-                    return unet_apply(unet_params, x.astype(text_emb.dtype), t,
-                                      zero_emb, self.spec, text_mask=text_mask,
-                                      dtype=self.compute_dtype)
+                    out = unet_apply(unet_params, x.astype(text_emb.dtype), t,
+                                     zero_emb, self.spec, text_mask=text_mask,
+                                     dtype=self.compute_dtype)
+                    if self.pred_type == "v":
+                        out = self.schedule.eps_from_v(out, x, t)
+                    return out
 
             latents = ddim_sample(denoise, self.schedule, rng, shape=shape,
                                   num_inference_steps=steps,
@@ -626,15 +653,12 @@ class DiffusionTrainer:
     def train(self) -> Path:
         if self.cfg.training.fast_path and self.mesh is None:
             return self._train_fast()
-        if self.caption_augment > 0:
-            # only the fast-path scan body draws per-step variants; the
-            # classic loop feeds canonical captions.  Refuse rather than
-            # silently train an un-augmented run whose sidecar config
-            # CLAIMS augmentation (review finding r4).
-            raise NotImplementedError(
-                "extra.caption_augment requires the single-device fast "
-                "path (training.fast_path=true, no mesh); the classic "
-                "epoch loop would silently ignore it")
+        # classic/mesh path: caption variants are drawn per sample in the
+        # HOST loader (data/loader.py::_make_batch — ds.set_caption_variants
+        # ran in __init__, so train batches carry variant text_ids/mask);
+        # the device fast path draws its variants on device instead.  The
+        # round-4 NotImplementedError guard is gone: the best training
+        # recipe now runs multi-device (VERDICT r4 #6).
         return self._train_classic()
 
     def _train_fast(self) -> Path:

@@ -267,3 +267,24 @@ def test_initial_latent_is_respected():
     b = ddpm_sample_renoise(_zero_denoise, sched, key, shape=SHAPE,
                             num_inference_steps=5)
     assert float(jnp.max(jnp.abs(a - b))) > 1e-3
+
+
+def test_v_parameterization_identities():
+    """v = sqrt(acp) eps - sqrt(1-acp) x0, and eps_from_v inverts it
+    EXACTLY given x_t: a*v + s*x_t = (a^2+s^2) eps = eps."""
+    sched = make_schedule(50, 1e-4, 0.02, "cosine")
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    x0 = jax.random.normal(k1, (4, 5, 5, 2))
+    eps = jax.random.normal(k2, (4, 5, 5, 2))
+    t = jnp.array([0, 10, 25, 49])
+    x_t = sched.add_noise(x0, eps, t)
+    v = sched.velocity(x0, eps, t)
+    np.testing.assert_allclose(np.asarray(sched.eps_from_v(v, x_t, t)),
+                               np.asarray(eps), rtol=2e-5, atol=2e-5)
+    # and the x0 recovered from the converted eps matches
+    a = sched.sqrt_alphas_cumprod[t].reshape(-1, 1, 1, 1)
+    s = sched.sqrt_one_minus_alphas_cumprod[t].reshape(-1, 1, 1, 1)
+    np.testing.assert_allclose(
+        np.asarray((x_t - s * sched.eps_from_v(v, x_t, t)) / a),
+        np.asarray(x0), rtol=2e-4, atol=2e-4)

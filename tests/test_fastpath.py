@@ -214,16 +214,23 @@ def test_device_augment_first_import_under_trace_then_retrace():
 
 
 @needs_data
-def test_caption_augment_refuses_classic_path(tmp_path):
-    """extra.caption_augment is a fast-path-only lever: only the scanned
-    step body draws per-sample variants, so the classic epoch loop must
-    REFUSE (not silently train un-augmented while the sidecar config
-    claims augmentation — review finding r4)."""
+def test_caption_augment_classic_path_uses_variants(tmp_path):
+    """extra.caption_augment now works on the classic path too: the host
+    loader substitutes per-sample variant rows (VERDICT r4 #6 lifted the
+    round-4 NotImplementedError guard), so train batches must carry
+    augmented text_ids while eval batches stay canonical."""
+    import numpy as np
+
     from psg_tpu.train.stage2_diffusion import DiffusionTrainer
 
     cfg = _tiny_cfg(tmp_path)
     cfg.training.fast_path = False
     cfg.extra = {"caption_augment": 4}
     t = DiffusionTrainer(cfg, vae_checkpoint_path=None, experiment_name="fpc")
-    with pytest.raises(NotImplementedError, match="caption_augment"):
-        t.train()
+    batch = next(iter(t.train_loader))
+    idxs = batch["national_number"] - 1
+    # (1/4)^batch chance of all-canonical draws
+    assert not np.array_equal(batch["text_ids"], t.ds.text_ids[idxs])
+    vb = next(iter(t.val_loader))
+    np.testing.assert_array_equal(vb["text_ids"],
+                                  t.ds.text_ids[vb["national_number"] - 1])

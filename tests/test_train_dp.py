@@ -116,3 +116,47 @@ def test_sd_trainer_dp_on_mesh(tmp_path):
                     mesh)
     state2, parts = t._train_step(t.state, t.frozen_vae, b)
     assert np.isfinite(float(parts["loss"]))
+
+
+@needs_data
+@pytest.mark.slow
+def test_caption_augment_on_mesh_path(tmp_path):
+    """The classic/mesh trainer path must actually train on caption
+    VARIANTS (VERDICT r4 #6): the host loader draws a per-sample variant
+    row, so the step consumes augmented text_ids — previously this
+    combination raised NotImplementedError and the best training recipe
+    could not run multi-device."""
+    from psg_tpu.train.stage2_diffusion import DiffusionTrainer
+
+    mesh = make_mesh()
+    cfg = _tiny_cfg(tmp_path)
+    cfg.extra = {"caption_augment": 4, "caption_name_drop": 0.0}
+    t = DiffusionTrainer(cfg, vae_checkpoint_path=None, experiment_name="ca",
+                         mesh=mesh)
+    t.train_loader.indices = t.train_loader.indices[:16]
+
+    # variants landed on the dataset and the loader substitutes them
+    assert t.ds.text_ids_aug is not None and t.ds.text_ids_aug.shape[1] == 4
+    seen_variant = False
+    for batch in t.train_loader:
+        # canonical rows by national_number (synthesized as row index + 1)
+        idxs = batch["national_number"] - 1
+        if not np.array_equal(batch["text_ids"], t.ds.text_ids[idxs]):
+            seen_variant = True
+        break
+    # with K=4 and 8 samples the chance every draw hits the canonical
+    # variant is (1/4)^8 ~ 1.5e-5
+    assert seen_variant, "loader yielded only canonical captions"
+
+    # and the mesh step trains on them
+    from psg_tpu.parallel import shard_batch
+
+    b = shard_batch({k: batch[k] for k in ("image", "text_ids", "text_mask")},
+                    mesh)
+    state2, parts = t._train_step(t.state, t.frozen, b)
+    assert np.isfinite(float(parts["loss"]))
+
+    # train=False loaders keep canonical captions
+    vb = next(iter(t.val_loader))
+    vidx = vb["national_number"] - 1
+    np.testing.assert_array_equal(vb["text_ids"], t.ds.text_ids[vidx])

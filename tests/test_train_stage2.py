@@ -218,3 +218,40 @@ def test_snr_gamma_reweights_loss(tmp_path):
     assert weighted != pytest.approx(plain)
     # min(snr,gamma)/snr <= 1 everywhere => weighted loss is smaller
     assert weighted < plain
+
+
+def test_v_prediction_trains_and_samples(tmp_path):
+    """extra.prediction_type='v' (VERDICT r5 #3): the step regresses the
+    velocity target (loss differs from the eps run on identical
+    inputs/params), min-SNR uses the v-form weight, and the sample path
+    converts v->eps (finite images)."""
+    import jax
+
+    cfg = _tiny_cfg(tmp_path)
+    cfg.extra = {"prediction_type": "v", "snr_gamma": 5.0}
+    t = DiffusionTrainer(cfg, vae_checkpoint_path=None, experiment_name="vp")
+    assert t.pred_type == "v"
+    batch = next(iter(t.train_loader))
+    b = {k: jnp.asarray(batch[k]) for k in ("image", "text_ids", "text_mask")}
+    state2, parts = t._train_step(t.state, t.frozen, b)
+    t.state = state2  # the step donates its input state's buffers
+    assert np.isfinite(float(parts["loss"]))
+
+    cfg_e = _tiny_cfg(tmp_path / "eps")
+    cfg_e.extra = {"snr_gamma": 5.0}
+    te = DiffusionTrainer(cfg_e, vae_checkpoint_path=None,
+                          experiment_name="ep")
+    _, parts_e = te._train_step(te.state, te.frozen, b)
+    assert float(parts["loss"]) != pytest.approx(float(parts_e.get("loss")))
+
+    ids, mask = t.tokenizer.encode_batch(
+        t.ds.full_descriptions[:2], cfg.data.text_len)
+    imgs = t._sample_fn(t.state.sample_params, t.frozen,
+                        jax.random.PRNGKey(0), jnp.asarray(ids),
+                        jnp.asarray(mask), num=2, sampler="ddim", steps=3)
+    assert np.isfinite(np.asarray(imgs)).all()
+
+    with pytest.raises(ValueError, match="prediction_type"):
+        bad = _tiny_cfg(tmp_path / "bad")
+        bad.extra = {"prediction_type": "x0"}
+        DiffusionTrainer(bad, vae_checkpoint_path=None, experiment_name="b")
