@@ -27,7 +27,11 @@ from psg_tpu.core.config import configure_jax, load_config
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="3-stage Pokemon sprite generator training (TPU)")
     p.add_argument("--config", type=str, default="config/train_config.yaml")
-    p.add_argument("--stage", type=str, default="all", choices=["1", "2", "3", "all"])
+    # stage 0 = optional MLM pretraining of the text tower (not part of
+    # 'all', which keeps the reference's 3-stage contract); its checkpoint
+    # feeds stage 1 via extra.text_init
+    p.add_argument("--stage", type=str, default="all",
+                   choices=["0", "1", "2", "3", "all"])
     p.add_argument("--use-diffusers", action="store_true",
                    help="stage 2 uses the SD-1.5-family UNet wrapper "
                         "(pretrained weights via PSG_TPU_SD_UNET if available)")
@@ -70,6 +74,15 @@ def main(argv=None) -> int:
 
     vae_ckpt = args.vae_checkpoint or str(stage_ckpt(cfg, name, "vae"))
     diff_ckpt = args.diffusion_checkpoint or str(stage_ckpt(cfg, name, "diffusion"))
+
+    if args.stage == "0":
+        from psg_tpu.train.stage0_mlm import MLMPretrainer
+
+        t = MLMPretrainer(cfg, experiment_name=name)
+        best = t.train()
+        print(f"stage 0 complete: {best}")
+        print(f"warm-start stage 1 with --override extra.text_init={best}")
+        return 0
 
     if run_all or args.stage == "1":
         from psg_tpu.train.stage1_vae import VAETrainer

@@ -147,12 +147,25 @@ class VAETrainer:
         # tokenizer/config; random init otherwise
         params["text"]["bert"], bert_pretrained = self._load_bert(
             params["text"]["bert"])
+        # extra.text_init: warm-start the whole text tower from a stage-0
+        # MLM checkpoint (train/stage0_mlm.py) — the zero-egress substitute
+        # for the reference's pretrained BERT download
+        text_init = (cfg.extra or {}).get("text_init")
+        if text_init and Path(text_init).exists():
+            from psg_tpu.train.stage0_mlm import load_text_init
+
+            params["text"] = load_text_init(text_init, params["text"])
+            bert_pretrained = f"mlm:{text_init}"
+        elif text_init:
+            self.log.warning("extra.text_init=%r not found — random text "
+                             "tower", text_init)
         # perceptual-loss VGG: converted torchvision weights if available,
         # else fixed-seed random features (see models/vgg.py docstring)
         self.vgg_params, vgg_pretrained = self._load_vgg(k_vgg)
         self.log.info(
             "weights: bert=%s vgg16=%s",
-            "pretrained" if bert_pretrained else "random-init",
+            bert_pretrained if isinstance(bert_pretrained, str)
+            else ("pretrained" if bert_pretrained else "random-init"),
             "pretrained" if vgg_pretrained else "random-features")
 
         # optimizer: vae group + text group (finetune-mask aware)
