@@ -12,6 +12,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -429,6 +430,22 @@ def main() -> int:
     # `bench.py serve`.
     end_to_end = {}
     serve_scale = {}
+    if os.environ.get("PSG_TPU_BENCH_RAW"):
+        # perf-harness mode: just the raw denoise sweep (each serving row
+        # costs a multi-minute compile; A/B loops only need steps/s)
+        print(json.dumps({
+            "metric": "unet_denoise_steps_per_sec_per_chip",
+            "value": headline["steps_per_sec"],
+            "unit": "steps/s",
+            "vs_baseline": round(headline["steps_per_sec"]
+                                 / BASELINE_STEPS_PER_SEC, 3),
+            "detail": {"batch": headline_batch, "chain_steps": n_steps,
+                       "by_batch": rows, "raw": True,
+                       "env": {k: v for k, v in os.environ.items()
+                               if k.startswith("PSG_TPU_")},
+                       "backend": jax.default_backend(), "device": device},
+        }))
+        return 0
     try:
         setup = _serving_setup()
         quality = quality_recipe_row(setup)

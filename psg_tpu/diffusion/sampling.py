@@ -40,6 +40,20 @@ def _init_latent(key, shape, initial_latent):
     return jax.random.normal(key, shape, jnp.float32)
 
 
+def _scan_unroll() -> int:
+    """PSG_TPU_SCAN_UNROLL (default 1): unroll factor for the sampler
+    scans.  >1 lets XLA software-pipeline consecutive denoise steps
+    (overlapping one step's tail with the next's weight prefetch) at the
+    cost of a proportionally larger program; exposed as an env knob for
+    the perf harness (VERDICT r5 #4)."""
+    import os
+
+    try:
+        return max(1, int(os.environ.get("PSG_TPU_SCAN_UNROLL", "1")))
+    except ValueError:
+        return 1
+
+
 def ddpm_sample(denoise_fn: Callable, schedule: DiffusionSchedule, key,
                 shape=None, initial_latent=None,
                 num_timesteps: Optional[int] = None,
@@ -88,7 +102,8 @@ def ddpm_sample(denoise_fn: Callable, schedule: DiffusionSchedule, key,
         x = jnp.where(t > 0, mean + sigma * noise, x - eps)
         return (x, k), None
 
-    (x, _), _ = lax.scan(body, (x, key), tables)
+    (x, _), _ = lax.scan(body, (x, key), tables,
+                         unroll=_scan_unroll())
     return x
 
 
@@ -127,7 +142,8 @@ def ddpm_sample_fast(denoise_fn: Callable, schedule: DiffusionSchedule, key,
             x = x + jnp.where(t > 0, sigma, 0.0) * noise
         return (x, k), None
 
-    (x, _), _ = lax.scan(body, (x, key), tables)
+    (x, _), _ = lax.scan(body, (x, key), tables,
+                         unroll=_scan_unroll())
     return x
 
 
@@ -176,7 +192,8 @@ def ddpm_sample_x0(denoise_fn: Callable, schedule: DiffusionSchedule, key,
         x = x + jnp.where(t > 0, sigma, 0.0) * noise
         return (x, k), None
 
-    (x, _), _ = lax.scan(body, (x, key), tables)
+    (x, _), _ = lax.scan(body, (x, key), tables,
+                         unroll=_scan_unroll())
     return x
 
 
@@ -249,7 +266,8 @@ def ddim_sample(denoise_fn: Callable, schedule: DiffusionSchedule, key,
             x = x + sig * jax.random.normal(kn, x.shape, jnp.float32)
         return (x, k), None
 
-    (x, _), _ = lax.scan(body, (x, key), tables)
+    (x, _), _ = lax.scan(body, (x, key), tables,
+                         unroll=_scan_unroll())
     return x
 
 
@@ -386,5 +404,6 @@ def ddpm_sample_renoise(denoise_fn: Callable, schedule: DiffusionSchedule, key,
         x = jnp.where(do_renoise, renoised, denoised)
         return (x, k), None
 
-    (x, _), _ = lax.scan(body, (x, key), tables)
+    (x, _), _ = lax.scan(body, (x, key), tables,
+                         unroll=_scan_unroll())
     return x
