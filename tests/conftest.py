@@ -103,6 +103,9 @@ _HEAVY = {
     "test_set_guidance_retraces",
     "test_fused_matches_xla_path",
     "test_two_process_cpu_cluster_dp_step",
+    "test_v_prediction_trains_and_samples",
+    "test_gradio_serving_chain_parity",
+    "test_sampler_selection",
 }
 
 
