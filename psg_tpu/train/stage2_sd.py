@@ -140,6 +140,12 @@ class SDDiffusionTrainer:
 
         # optimizer: unet group + text group (0.5x clip), frozen-by-mode
         o = cfg.optimization
+        if (cfg.extra or {}).get("prediction_type", "eps") != "eps":
+            # the SD-family trainer keeps the reference's eps semantics;
+            # v-prediction lives in the custom-UNet trainer — refuse
+            # rather than silently train eps under a sidecar that says v
+            raise ValueError("extra.prediction_type != 'eps' is not "
+                             "supported by the SD trainer")
         uo = cfg.extra.get("unet_optimization", {}) if cfg.extra else {}
         unet_lr = uo.get("learning_rate", o.learning_rate)
         text_lr = o.text_encoder_lr or unet_lr * 0.1

@@ -302,9 +302,14 @@ class FinalTrainer:
                                       self.bert_cfg, dtype=self.compute_dtype)
 
         def denoise(x, t):
-            return unet_apply(params["unet"], x.astype(text_emb.dtype), t,
-                              text_emb, self.spec, text_mask=text_mask,
-                              dtype=self.compute_dtype)
+            out = unet_apply(params["unet"], x.astype(text_emb.dtype), t,
+                             text_emb, self.spec, text_mask=text_mask,
+                             dtype=self.compute_dtype)
+            if (self.cfg.extra or {}).get("prediction_type", "eps") == "v":
+                # a v-trained stage-2 base: convert to the eps the
+                # samplers consume (schedule.eps_from_v docstring)
+                out = self.schedule.eps_from_v(out, x, t)
+            return out
 
         shape = (num, self.latent_size, self.latent_size, self.cfg.model.latent_dim)
         if sampler == "ddpm":
