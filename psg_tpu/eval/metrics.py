@@ -130,6 +130,17 @@ def conditioning_report(generated: Sequence[np.ndarray],
     p = 1.0 / max(s.shape[1], 1)
     report["retrieval_p_value"] = float(sum(
         _comb(n, k) * p**k * (1 - p) ** (n - k) for k in range(hits, n + 1)))
+    # Matched-pair per-metric means (VERDICT r5 #3's gate: silhouette_iou
+    # and color_histogram_similarity must improve on a fixed prompt set):
+    # the blended _pair_score hides which component moved, so land each.
+    k = min(len(generated), len(real))
+    report["matched_silhouette_iou"] = float(np.mean(
+        [silhouette_iou(generated[i], real[i], background) for i in range(k)]))
+    report["matched_color_histogram"] = float(np.mean(
+        [color_histogram_similarity(generated[i], real[i],
+                                    background=background) for i in range(k)]))
+    report["matched_downsampled_l1"] = float(np.mean(
+        [downsampled_l1(generated[i], real[i]) for i in range(k)]))
     if names is not None:
         report["per_sprite"] = {
             str(names[i]): {"matched": float(diag[i]), "mismatched": float(off[i])}
