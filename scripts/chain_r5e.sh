@@ -20,7 +20,7 @@ echo "$(date -u +%T) part D done, left $(left)s" >> "$W"
 
 if [ "$(left)" -gt 2400 ]; then
   timeout 2400 $EVAL evidence_r5c 16 10 dpmpp 2.0 \
-    docs/eval_conditioning_r5c_seed7.json 1 mean seeds=7,42 >> "$W" 2>&1
+    docs/eval_conditioning_r5c_seed7.json 1 mean seeds=7,42,123 >> "$W" 2>&1
   echo "$(date -u +%T) eval_dataset_seeds rc=$? left=$(left)s" >> "$W"
 fi
 
