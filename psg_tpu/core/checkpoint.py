@@ -249,21 +249,66 @@ def load_serving_params(vae_ckpt, diff_ckpt, template):
     two serving surfaces cannot drift (found by review: bench's old
     pair-only logic silently benched a random UNet on final bundles).
     """
+    def _fit(what, path, tmpl, fn):
+        """Restore via ``fn`` and verify the result FITS ``tmpl``; a
+        checkpoint that does not fit the requested architecture is
+        SKIPPED with a warning instead of crashing serving (the
+        reference's loaders are tolerant the same way: gradio_app.py:
+        257-277 key fallbacks, random-init fallback
+        diffusers_trainer.py:258-269).  Two failure modes, both seen in
+        practice when hub resolution finds a full-size training
+        checkpoint but the caller asked for a differently-sized model
+        (e.g. a tiny debug config): key-structure mismatch raises inside
+        flax's from_state_dict, and — sneakier — an architecture with the
+        SAME tree structure but different layer widths restores
+        "successfully" with wrong array shapes (from_state_dict checks
+        keys only), so leaf shapes are verified explicitly."""
+        try:
+            out = fn()
+            bad = [
+                (jax.tree_util.keystr(p), tuple(t.shape), tuple(x.shape))
+                for (p, t), (_, x) in zip(
+                    jax.tree_util.tree_flatten_with_path(tmpl)[0],
+                    jax.tree_util.tree_flatten_with_path(out)[0])
+                if hasattr(t, "shape") and hasattr(x, "shape")
+                and tuple(t.shape) != tuple(x.shape)]
+            if bad:
+                raise ValueError(
+                    f"shape mismatch at {bad[0][0]}: template {bad[0][1]} "
+                    f"vs checkpoint {bad[0][2]} (+{len(bad) - 1} more)")
+            return out
+        except Exception as e:  # noqa: BLE001 - any structure/shape mismatch
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "serving checkpoint %s (%s) does not fit the requested "
+                "architecture; keeping initialized weights (%s)",
+                path, what, str(e).splitlines()[0][:200])
+            return None
+
     vae_ok = vae_ckpt and Path(vae_ckpt).exists()
     diff_ok = diff_ckpt and Path(diff_ckpt).exists()
     if vae_ok and diff_ok and str(vae_ckpt) == str(diff_ckpt):
-        out, tag = load_params(vae_ckpt, dict(template)), "final-bundle"
-        return jax.device_put(out), tag
+        bundle = _fit("final-bundle", vae_ckpt, dict(template),
+                      lambda: load_params(vae_ckpt, dict(template)))
+        if bundle is None:
+            return jax.device_put(dict(template)), "none"
+        return jax.device_put(bundle), "final-bundle"
     out = dict(template)
     loaded = []
     if vae_ok:
-        vt = load_params(vae_ckpt, {"vae": template["vae"],
-                                    "text": template["text"]})
-        out["vae"], out["text"] = vt["vae"], vt["text"]
-        loaded.append("vae")
+        vt_tmpl = {"vae": template["vae"], "text": template["text"]}
+        vt = _fit("vae+text", vae_ckpt, vt_tmpl,
+                  lambda: load_params(vae_ckpt, vt_tmpl))
+        if vt is not None:
+            out["vae"], out["text"] = vt["vae"], vt["text"]
+            loaded.append("vae")
     if diff_ok:
-        out["unet"] = load_sample_params(diff_ckpt, template["unet"])
-        loaded.append("unet")
+        ut = _fit("unet", diff_ckpt, template["unet"],
+                  lambda: load_sample_params(diff_ckpt, template["unet"]))
+        if ut is not None:
+            out["unet"] = ut
+            loaded.append("unet")
     tag = {(): "none", ("vae",): "vae-only", ("unet",): "unet-only",
            ("vae", "unet"): "pair"}[tuple(loaded)]
     # Commit the loaded tree to device NOW: msgpack restore yields host

@@ -755,3 +755,42 @@ def test_loaded_serving_params_are_device_committed(tmp_path):
     served = PokemonGenerator(cfg, vae_checkpoint=vae_ck,
                               diffusion_checkpoint=diff_ck)
     assert_committed(served.params)
+
+
+def test_mismatched_checkpoint_falls_back_to_init(tmp_path):
+    """A resolved checkpoint whose tree does not fit the requested
+    architecture is SKIPPED with a warning, not a crash — the reference's
+    loaders degrade the same way (gradio_app.py:257-277 key fallbacks,
+    random-init fallback diffusers_trainer.py:258-269).  Regression for a
+    real event: the headless serving CLI with a tiny debug config crashed
+    in flax from_state_dict when hub resolution found the full-size
+    flagship checkpoints on the same host."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from psg_tpu.core.checkpoint import load_serving_params, save_state
+
+    # checkpoint written from a DIFFERENT (incompatible) tree shape
+    alien = {"params": {"vae": {"w": np.ones((3, 3), np.float32)},
+                        "text": {"blah": np.zeros((2,), np.float32)}}}
+    vae_ck = tmp_path / "vae_best_model.ckpt"
+    save_state(vae_ck, alien)
+
+    template = {
+        "vae": {"enc": jnp.zeros((4, 4))},
+        "text": {"projection": {"w": jnp.ones((2, 2))}},
+        "unet": {"conv": jnp.zeros((5,))},
+    }
+    params, tag = load_serving_params(vae_ck, None, template)
+    assert tag == "none"  # nothing usable was restored
+    np.testing.assert_array_equal(params["text"]["projection"]["w"],
+                                  template["text"]["projection"]["w"])
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert isinstance(leaf, jax.Array)
+
+    # final-bundle shape degrades the same way
+    params, tag = load_serving_params(vae_ck, vae_ck, template)
+    assert tag == "none"
+    np.testing.assert_array_equal(params["unet"]["conv"],
+                                  template["unet"]["conv"])
